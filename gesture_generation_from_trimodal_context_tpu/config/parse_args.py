@@ -1,0 +1,187 @@
+"""Experiment configuration: YAML config file + CLI flags in one namespace.
+
+Behavioral contract: every option of the reference config system
+(reference config/parse_args.py:16-68, built on configargparse) is
+accepted with the same name, type, and default, so the five published
+YAML experiment files drive this framework unchanged.  configargparse is
+not available in this environment, so this is a small self-contained
+reimplementation on top of argparse + PyYAML with the same precedence
+rule: command line > config file > defaults.
+
+TPU-specific additions (all defaulted so reference configs run as-is)
+are grouped at the bottom of ``build_parser``.
+"""
+
+import argparse
+import os
+from types import SimpleNamespace
+
+import yaml
+
+
+def str2bool(v):
+    """Parse flexible boolean CLI/YAML values ('yes', 'true', '1', ...)."""
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError("Boolean value expected.")
+
+
+class _Opt:
+    def __init__(self, name, type=str, default=None, required=False,
+                 append=False, nargs=None):
+        self.name = name
+        self.type = type
+        self.default = default
+        self.required = required
+        self.append = append
+        self.nargs = nargs
+
+
+def _reference_options():
+    """All options of the reference CLI (config/parse_args.py:16-68)."""
+    o = []
+    add = o.append
+    add(_Opt("name", str, "main"))
+    add(_Opt("train_data_path", str, append=True))
+    add(_Opt("val_data_path", str, append=True))
+    add(_Opt("test_data_path", str, append=True))
+    add(_Opt("model_save_path", str, required=True))
+    add(_Opt("pose_representation", str, "3d_vec"))
+    add(_Opt("mean_dir_vec", float, append=True, nargs="*"))
+    add(_Opt("mean_pose", float, append=True, nargs="*"))
+    add(_Opt("random_seed", int, -1))
+    add(_Opt("save_result_video", str2bool, True))
+    # word embedding
+    add(_Opt("wordembed_path", str, None))
+    add(_Opt("wordembed_dim", int, 100))
+    add(_Opt("freeze_wordembed", str2bool, False))
+    # model
+    add(_Opt("model", str, required=True))
+    add(_Opt("epochs", int, 10))
+    add(_Opt("batch_size", int, 50))
+    add(_Opt("dropout_prob", float, 0.3))
+    add(_Opt("n_layers", int, 2))
+    add(_Opt("hidden_size", int, 200))
+    add(_Opt("z_type", str, "none"))
+    add(_Opt("input_context", str, "both"))
+    # dataset
+    add(_Opt("motion_resampling_framerate", int, 24))
+    add(_Opt("n_poses", int, 50))
+    add(_Opt("n_pre_poses", int, 5))
+    add(_Opt("subdivision_stride", int, 5))
+    add(_Opt("loader_workers", int, 0))
+    # GAN
+    add(_Opt("GAN_noise_size", int, 0))
+    # training
+    add(_Opt("learning_rate", float, 0.001))
+    add(_Opt("discriminator_lr_weight", float, 0.2))
+    add(_Opt("loss_regression_weight", float, 50))
+    add(_Opt("loss_gan_weight", float, 1.0))
+    add(_Opt("loss_kld_weight", float, 0.1))
+    add(_Opt("loss_reg_weight", float, 0.01))
+    add(_Opt("loss_warmup", int, -1))
+    # eval
+    add(_Opt("eval_net_path", str, ""))
+    return o
+
+
+def _tpu_options():
+    """Options new to the TPU framework (defaults keep reference behavior)."""
+    o = []
+    add = o.append
+    add(_Opt("resume_checkpoint", str, ""))    # orbax/msgpack resume path ('' = fresh start, like the reference)
+    add(_Opt("dp_devices", int, -1))           # data-parallel mesh size; -1 = all local devices
+    add(_Opt("use_pallas", str2bool, False))   # Pallas-fused GRU kernels on TPU
+    add(_Opt("compute_dtype", str, "float32"))  # 'float32' | 'bfloat16' for activations
+    add(_Opt("prefetch_batches", int, 2))      # host->device prefetch depth
+    add(_Opt("data_format", str, "auto"))      # 'auto' | 'ggpack' | 'lmdb'
+    add(_Opt("deterministic_tb_dir", str2bool, False))  # stable tensorboard dir name (tests)
+    return o
+
+
+ALL_OPTIONS = _reference_options() + _tpu_options()
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        description="TPU-native trimodal gesture generation")
+    parser.add_argument("-c", "--config", required=True,
+                        help="YAML config file path")
+    for opt in ALL_OPTIONS:
+        kwargs = {}
+        if opt.append:
+            kwargs["action"] = "append"
+            if opt.nargs:
+                kwargs["nargs"] = opt.nargs
+        parser.add_argument("--" + opt.name, type=opt.type, default=None,
+                            **kwargs)
+    return parser
+
+
+def _coerce_yaml_value(opt, value):
+    """Convert a YAML value to the namespace representation configargparse
+    would have produced for the same option declaration."""
+    if opt.append:
+        # 'append' options come out as a list; a YAML scalar becomes a
+        # one-element list (e.g. train_data_path), a YAML list of numbers
+        # becomes a nested list (e.g. mean_dir_vec with nargs='*'), matching
+        # how the reference consumes them (args.train_data_path[0],
+        # np.array(args.mean_dir_vec).squeeze()).
+        if isinstance(value, list):
+            if opt.nargs:
+                return [[opt.type(v) for v in value]]
+            return [opt.type(v) for v in value]
+        return [opt.type(value)]
+    if value is None:
+        return None
+    if opt.type is str2bool:
+        return str2bool(str(value))
+    return opt.type(value)
+
+
+def parse_args(argv=None):
+    """Parse CLI + YAML into a flat namespace (CLI > YAML > defaults)."""
+    parser = build_parser()
+    cli = parser.parse_args(argv)
+
+    if not os.path.exists(cli.config):
+        raise FileNotFoundError("config file not found: {}".format(cli.config))
+    with open(cli.config) as f:
+        file_cfg = yaml.safe_load(f) or {}
+
+    ns = {}
+    known = {opt.name: opt for opt in ALL_OPTIONS}
+    for key in file_cfg:
+        if key not in known:
+            raise ValueError("unknown config key: {}".format(key))
+
+    for name, opt in known.items():
+        cli_val = getattr(cli, name)
+        if cli_val is not None:
+            if opt.append and opt.nargs and cli_val and not isinstance(cli_val[0], list):
+                cli_val = [cli_val]
+            ns[name] = cli_val
+        elif name in file_cfg:
+            ns[name] = _coerce_yaml_value(opt, file_cfg[name])
+        else:
+            if opt.required:
+                raise ValueError("missing required option: {}".format(name))
+            ns[name] = [opt.default] if (opt.append and opt.default is not None) \
+                else (opt.default if not opt.append else None)
+
+    ns["config"] = cli.config
+    return SimpleNamespace(**ns)
+
+
+def args_to_dict(args):
+    """Namespace -> plain dict (for self-describing checkpoints)."""
+    return dict(vars(args))
+
+
+def args_from_dict(d):
+    """Inverse of args_to_dict (checkpoint loading)."""
+    return SimpleNamespace(**dict(d))

@@ -1,0 +1,140 @@
+"""Multi-layer (bi)directional GRU as a TPU-friendly ``lax.scan``.
+
+Design (TPU-first, not a port):
+- The input projection ``x @ W_ih^T + b_ih`` for ALL timesteps is hoisted
+  out of the recurrence into one large batched matmul (B*T x In x 3H) that
+  maps straight onto the MXU.  Only the small recurrent matmul
+  ``h @ W_hh^T`` stays inside the scan.
+- Bidirectional = forward scan + ``reverse=True`` scan (lax.scan keeps the
+  output time-aligned with the input), concatenated on features.
+- Gate math matches torch.nn.GRU exactly (gate order r,z,n; the reset gate
+  multiplies the *hidden* candidate term W_hn h + b_hn), so checkpoints
+  trained here reproduce reference numerics.  Reference usage sites:
+  scripts/model/multimodal_context_net.py:98,223, seq2seq_net.py:30,127,
+  embedding_net.py:144,227.
+- Inter-layer dropout on every layer output except the last (torch
+  semantics).
+
+``gru_cell_step`` is shared with the Pallas-fused sequence kernel in
+``ops/pallas_gru.py`` (same parameter layout).
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .init import uniform_init
+
+
+def gru_scan(wi, bi, wh, bh, x, h0, reverse=False):
+    """Run one GRU direction over a full sequence.
+
+    Args:
+      wi: (3H, In) input-to-hidden weights (torch layout, gate order r,z,n).
+      bi: (3H,) input bias.
+      wh: (3H, H) hidden-to-hidden weights.
+      bh: (3H,) hidden bias.
+      x: (B, T, In) inputs.
+      h0: (B, H) initial hidden state.
+      reverse: process the sequence back-to-front (outputs stay aligned).
+
+    Returns: (outputs (B, T, H), final hidden (B, H))
+    """
+    h_size = h0.shape[-1]
+    # Hoisted input projection: one MXU-friendly matmul for all timesteps.
+    xp = jnp.einsum("bti,gi->btg", x, wi) + bi  # (B, T, 3H)
+    xp = jnp.swapaxes(xp, 0, 1)                 # (T, B, 3H)
+
+    def step(h, xt):
+        hp = h @ wh.T + bh
+        xr, xz, xn = (xt[..., :h_size], xt[..., h_size:2 * h_size],
+                      xt[..., 2 * h_size:])
+        hr, hz, hn = (hp[..., :h_size], hp[..., h_size:2 * h_size],
+                      hp[..., 2 * h_size:])
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    h_last, ys = jax.lax.scan(step, h0, xp, reverse=reverse)
+    return jnp.swapaxes(ys, 0, 1), h_last
+
+
+class GRU(nn.Module):
+    """Stacked (bi)directional GRU, torch.nn.GRU-compatible semantics.
+
+    Returns (outputs (B, T, D*H), h_n (L*D, B, H)) with batch_first layout.
+    """
+    hidden_size: int
+    num_layers: int = 1
+    bidirectional: bool = False
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, h0: Optional[jax.Array] = None,
+                 deterministic: bool = True):
+        batch, _, _ = x.shape
+        h = self.hidden_size
+        num_dir = 2 if self.bidirectional else 1
+        bound_init = uniform_init(float(h) ** -0.5)
+
+        if h0 is None:
+            h0 = jnp.zeros((self.num_layers * num_dir, batch, h), x.dtype)
+
+        layer_in = x
+        h_finals = []
+        for layer in range(self.num_layers):
+            in_size = layer_in.shape[-1]
+            outs = []
+            for d in range(num_dir):
+                sfx = "l{}{}".format(layer, "_reverse" if d else "")
+                wi = self.param("weight_ih_" + sfx, bound_init, (3 * h, in_size))
+                wh = self.param("weight_hh_" + sfx, bound_init, (3 * h, h))
+                bi = self.param("bias_ih_" + sfx, bound_init, (3 * h,))
+                bh = self.param("bias_hh_" + sfx, bound_init, (3 * h,))
+                out, h_fin = gru_scan(wi, bi, wh, bh, layer_in,
+                                      h0[layer * num_dir + d],
+                                      reverse=bool(d))
+                outs.append(out)
+                h_finals.append(h_fin)
+            layer_in = outs[0] if num_dir == 1 else jnp.concatenate(outs, -1)
+            if self.dropout > 0 and layer < self.num_layers - 1:
+                layer_in = nn.Dropout(rate=self.dropout)(
+                    layer_in, deterministic=deterministic)
+
+        return layer_in, jnp.stack(h_finals)
+
+
+class GRUCell(nn.Module):
+    """Single-step GRU cell (used by the seq2seq attention decoder loop).
+
+    Parameter layout matches GRU (one layer, one direction)."""
+    hidden_size: int
+    num_layers: int = 1
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, h0, deterministic: bool = True):
+        """x: (B, In); h0: (L, B, H) -> (output (B, H), h_n (L, B, H))."""
+        h = self.hidden_size
+        bound_init = uniform_init(float(h) ** -0.5)
+        layer_in = x
+        new_h = []
+        for layer in range(self.num_layers):
+            in_size = layer_in.shape[-1]
+            sfx = "l{}".format(layer)
+            wi = self.param("weight_ih_" + sfx, bound_init, (3 * h, in_size))
+            wh = self.param("weight_hh_" + sfx, bound_init, (3 * h, h))
+            bi = self.param("bias_ih_" + sfx, bound_init, (3 * h,))
+            bh = self.param("bias_hh_" + sfx, bound_init, (3 * h,))
+            out, h_fin = gru_scan(wi, bi, wh, bh, layer_in[:, None, :],
+                                  h0[layer])
+            layer_in = out[:, 0, :]
+            new_h.append(h_fin)
+            if self.dropout > 0 and layer < self.num_layers - 1:
+                layer_in = nn.Dropout(rate=self.dropout)(
+                    layer_in, deterministic=deterministic)
+        return layer_in, jnp.stack(new_h)
