@@ -6,7 +6,7 @@ import os
 import numpy as np
 import pytest
 
-import gesture_generation_from_trimodal_context_tpu.config.parse_args as parse_args
+from gesture_generation_from_trimodal_context_tpu.config import parse_args_mod as parse_args
 
 def _cfg(name):
     import gesture_generation_from_trimodal_context_tpu.config as cfg_pkg
