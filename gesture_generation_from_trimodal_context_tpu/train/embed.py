@@ -1,0 +1,76 @@
+"""Jitted train/eval steps for the embedding models (joint_embedding,
+gesture_autoencoder, and the H3.6M FGD feature extractor).
+
+Behavioral contract:
+- train_iter_embed (reference train_eval/train_joint_embed.py:5-51):
+  per-sample-mean L1 recon loss summed over the batch; VAE branch exists
+  but variational_encoding=False on all published paths.
+- eval_embed (train_joint_embed.py:54-62): mean L1 + reconstructions.
+- train_iter of the FGD trainer (reference
+  scripts/train_feature_extractor.py:54-97): same recon loss plus a
+  pose-difference L1 term (use_pose_diff=True there, False in train.py).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .common import apply_net, split_rngs
+from .state import NetState, adam, apply_grads
+
+
+def make_embed_train_step(bundle, args, mode=None, use_pose_diff=False):
+    net = bundle.generator
+    tx = adam(args.learning_rate)
+    n_pre = args.n_pre_poses
+
+    @partial(jax.jit, donate_argnames=("state",))
+    def step(state: NetState, batch, rng):
+        in_text = batch.get("in_text")
+        in_audio = batch.get("in_audio")
+        target = batch["target_vec"]
+        pre_seq = target[:, 0:n_pre]
+
+        def loss_fn(params):
+            rngs = split_rngs(rng, ("noise", "dropout"))
+            (out_tuple), bs = apply_net(
+                net, params, state.batch_stats, in_text, in_audio, pre_seq,
+                target, mode, train=True, rngs=rngs,
+                variational_encoding=False)
+            recon = out_tuple[6]
+            recon_loss = jnp.mean(jnp.abs(recon - target), axis=(1, 2))
+            if use_pose_diff:
+                td = target[:, 1:] - target[:, :-1]
+                rd = recon[:, 1:] - recon[:, :-1]
+                recon_loss = recon_loss + jnp.mean(jnp.abs(rd - td),
+                                                   axis=(1, 2))
+            recon_loss = jnp.sum(recon_loss)
+            return recon_loss, (bs, {"loss": recon_loss})
+
+        (_, (bs, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = apply_grads(state, tx, grads, bs)
+        return state, metrics
+
+    return step, tx
+
+
+def make_embed_eval_step(bundle, mode=None):
+    net = bundle.generator
+
+    @jax.jit
+    def step(params, batch_stats, batch, rng):
+        in_text = batch.get("in_text")
+        in_audio = batch.get("in_audio")
+        target = batch["target_vec"]
+        pre_seq = batch.get("pre_seq_partial")
+        rngs = split_rngs(rng, ("noise", "dropout"))
+        out_tuple, _ = apply_net(
+            net, params, batch_stats, in_text, in_audio, pre_seq, target,
+            mode, train=False, rngs=rngs, variational_encoding=False)
+        recon = out_tuple[6]
+        loss = jnp.mean(jnp.mean(jnp.abs(recon - target), axis=(1, 2)))
+        return loss, recon
+
+    return step

@@ -1,0 +1,147 @@
+"""Jitted adversarial train step for the multimodal_context model.
+
+Behavioral contract: reference scripts/train_eval/train_gan.py:13-103.
+One compiled XLA program performs, in order (matching the reference):
+  1. pre_seq construction (seed poses + constraint bit),
+  2. D update (when epoch > loss_warmup and loss_gan_weight > 0):
+     ns-GAN log loss on real vs detached generated sequences,
+  3. G update: beta-scaled Huber + GAN term (epoch-gated) + speaker-z KLD
+     + diversity regularizer (pose-L1 / z-L1 between two speaker draws,
+     clamped at -1000), with a third (detached) generator forward for the
+     regularizer.
+
+Fidelity notes:
+- every generator/discriminator forward runs in train mode, so BatchNorm
+  running stats update on each of the up-to-3 G / 3 D forwards per
+  iteration, exactly like the reference's module.train(True) state;
+- the generator's speaker z is reparameterized per forward (fresh noise);
+- epoch gating is a static argument (two specializations compile: warmup
+  and steady state).
+
+TPU notes: both optimizer updates live in the same jit, so the whole
+iteration is one device program; under a data mesh the batch is sharded on
+axis 0 and XLA inserts the gradient all-reduce over ICI.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .common import apply_net, build_pre_seq, smooth_l1, smooth_l1_none, split_rngs
+from .state import NetState, adam, apply_grads
+
+EPS = 1e-8
+
+
+def make_gan_train_step(bundle, args):
+    gen, dis = bundle.generator, bundle.discriminator
+    gen_tx = adam(args.learning_rate)
+    dis_tx = adam(args.learning_rate * args.discriminator_lr_weight)
+
+    n_pre = args.n_pre_poses
+    w_rg = args.loss_regression_weight
+    w_gan = args.loss_gan_weight
+    w_kld = args.loss_kld_weight
+    w_reg = args.loss_reg_weight
+    z_type = gen.z_type
+
+    def gen_fwd(params, bstats, pre_seq, in_text, in_audio, vids, rng):
+        rngs = split_rngs(rng, ("noise", "dropout"))
+        return apply_net(gen, params, bstats, pre_seq, in_text, in_audio,
+                         vids, train=True, rngs=rngs)
+
+    def dis_fwd(params, bstats, poses, rng):
+        rngs = split_rngs(rng, ("dropout",))
+        return apply_net(dis, params, bstats, poses, train=True, rngs=rngs)
+
+    @partial(jax.jit, static_argnames=("train_d", "add_gan"),
+             donate_argnames=("gen_state", "dis_state"))
+    def step(gen_state: NetState, dis_state: NetState, batch, rng,
+             train_d: bool, add_gan: bool):
+        in_text = batch["in_text"]
+        in_audio = batch["in_audio"]
+        target = batch["target_vec"]
+        vids = batch.get("vid_indices")
+
+        pre_seq = build_pre_seq(target, n_pre)
+        metrics = {}
+        r = jax.random.split(rng, 6)
+
+        gen_bs = gen_state.batch_stats
+
+        # ---- D step (reference train_gan.py:27-43) ----
+        if train_d:
+            (fake, *_), gen_bs = gen_fwd(gen_state.params, gen_bs, pre_seq,
+                                         in_text, in_audio, vids, r[0])
+            fake = jax.lax.stop_gradient(fake)
+
+            def d_loss_fn(d_params):
+                d_real, bs1 = dis_fwd(d_params, dis_state.batch_stats,
+                                      target, r[1])
+                d_fake, bs2 = dis_fwd(d_params, bs1, fake, r[2])
+                loss = -jnp.mean(jnp.log(d_real + EPS)
+                                 + jnp.log(1.0 - d_fake + EPS))
+                return loss, bs2
+
+            (d_loss, d_bs), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(dis_state.params)
+            dis_state = apply_grads(dis_state, dis_tx, d_grads, d_bs)
+            metrics["dis"] = d_loss
+
+        # ---- G step (reference train_gan.py:47-92) ----
+        def g_loss_fn(g_params):
+            (out, z, z_mu, z_logvar), g_bs = gen_fwd(
+                g_params, gen_bs, pre_seq, in_text, in_audio, vids, r[3])
+            huber = smooth_l1(out, target, beta=0.1)
+            d_out, d_bs = dis_fwd(dis_state.params, dis_state.batch_stats,
+                                  out, r[4])
+            gen_err = -jnp.mean(jnp.log(d_out + EPS))
+
+            aux_metrics = {"loss": w_rg * huber}
+            loss = w_rg * huber
+
+            if z_type in ("speaker", "random") and w_reg > 0.0:
+                if z_type == "speaker":
+                    rand_vids = jax.random.permutation(r[5], vids)
+                else:
+                    rand_vids = None
+                (out_rand, z_rand, *_), g_bs = gen_fwd(
+                    g_params, g_bs, pre_seq, in_text, in_audio, rand_vids,
+                    jax.random.fold_in(r[5], 1))
+                out_rand = jax.lax.stop_gradient(out_rand)
+                z_rand = jax.lax.stop_gradient(z_rand)
+
+                pose_l1 = smooth_l1_none(out, out_rand, beta=0.05)
+                pose_l1 = pose_l1.sum(axis=1).sum(axis=1)
+                pose_l1 = pose_l1.reshape(pose_l1.shape[0], -1).mean(axis=1)
+                z_l1 = jnp.abs(jax.lax.stop_gradient(z) - z_rand)
+                z_l1 = z_l1.reshape(z_l1.shape[0], -1).mean(axis=1)
+                div_reg = -(pose_l1 / (z_l1 + 1.0e-5))
+                div_reg = jnp.clip(div_reg, -1000.0, None).mean()
+                aux_metrics["DIV_REG"] = w_reg * div_reg
+
+                if z_type == "speaker":
+                    kld = -0.5 * jnp.mean(1 + z_logvar - z_mu ** 2
+                                          - jnp.exp(z_logvar))
+                    aux_metrics["KLD"] = w_kld * kld
+                    loss = loss + w_kld * kld + w_reg * div_reg
+                else:
+                    loss = loss + w_reg * div_reg
+
+            if add_gan:
+                loss = loss + w_gan * gen_err
+                aux_metrics["gen"] = w_gan * gen_err
+            return loss, (g_bs, d_bs, aux_metrics)
+
+        (_, (g_bs, d_bs, g_metrics)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(gen_state.params)
+        gen_state = apply_grads(gen_state, gen_tx, g_grads, g_bs)
+        # the reference's D also sees the G-step forward in train mode
+        dis_state = dis_state.replace(batch_stats=d_bs)
+
+        metrics.update(g_metrics)
+        return gen_state, dis_state, metrics
+
+    return step, gen_tx, dis_tx

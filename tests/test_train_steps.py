@@ -1,0 +1,175 @@
+"""Train-step tests: each jitted step runs, updates parameters, and (for
+the autoencoder) reduces its loss on a fixed batch."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from types import SimpleNamespace
+
+from gesture_generation_from_trimodal_context_tpu.models import factory
+from gesture_generation_from_trimodal_context_tpu.train import state as state_lib
+from gesture_generation_from_trimodal_context_tpu.train.gan import make_gan_train_step
+from gesture_generation_from_trimodal_context_tpu.train.embed import (
+    make_embed_train_step, make_embed_eval_step)
+from gesture_generation_from_trimodal_context_tpu.train.seq2seq_step import (
+    make_seq2seq_train_step)
+from gesture_generation_from_trimodal_context_tpu.train.s2g import make_s2g_train_step
+from gesture_generation_from_trimodal_context_tpu.data.vocab import Vocab
+
+
+def tiny_args(**over):
+    d = dict(model="multimodal_context", n_poses=34, n_pre_poses=4,
+             motion_resampling_framerate=15, hidden_size=32, n_layers=2,
+             dropout_prob=0.3, input_context="both", z_type="speaker",
+             wordembed_dim=16, freeze_wordembed=False, learning_rate=5e-4,
+             discriminator_lr_weight=0.2, loss_regression_weight=500.0,
+             loss_gan_weight=5.0, loss_kld_weight=0.1, loss_reg_weight=0.05,
+             loss_warmup=10, GAN_noise_size=0)
+    d.update(over)
+    return SimpleNamespace(**d)
+
+
+def tiny_vocab(n=30):
+    v = Vocab("words")
+    for i in range(n - 4):
+        v.index_word("w%d" % i)
+    return v
+
+
+def tiny_speakers(n=6):
+    v = Vocab("vid", insert_default_tokens=False)
+    for i in range(n - 1):
+        v.index_word("vid%d" % i)
+    return v
+
+
+def make_batch(rng, b=4, n=34, pose_dim=27, audio_len=36267, n_words=30,
+               n_speakers=6, word_len=9, spec_len=70):
+    return {
+        "in_text": jnp.asarray(rng.randint(0, n_words, (b, n)), jnp.int32),
+        "in_audio": jnp.asarray(rng.randn(b, audio_len), jnp.float32),
+        "target_vec": jnp.asarray(0.1 * rng.randn(b, n, pose_dim),
+                                  jnp.float32),
+        "vid_indices": jnp.asarray(rng.randint(0, n_speakers, (b,)),
+                                   jnp.int32),
+        "word_seq": jnp.asarray(rng.randint(0, n_words, (b, word_len)),
+                                jnp.int32),
+        "word_lengths": jnp.asarray([word_len] * b, jnp.int32),
+        "in_spec": jnp.asarray(rng.randn(b, 128, spec_len), jnp.float32),
+    }
+
+
+def param_l2_delta(a, b):
+    leaves_a = jax.tree_util.tree_leaves(a)
+    leaves_b = jax.tree_util.tree_leaves(b)
+    return sum(float(jnp.sum((x - y) ** 2)) for x, y in zip(leaves_a, leaves_b))
+
+
+def test_gan_train_step(rng):
+    args = tiny_args()
+    bundle = factory.init_model(args, tiny_vocab(), tiny_speakers(), 27)
+    key = jax.random.PRNGKey(0)
+    gvars = factory.generator_init_variables(bundle, args, key, batch_size=4)
+    dvars = factory.discriminator_init_variables(bundle, args, key,
+                                                 batch_size=4)
+    step, gen_tx, dis_tx = make_gan_train_step(bundle, args)
+    gen_state = state_lib.make_net_state(gvars, gen_tx)
+    dis_state = state_lib.make_net_state(dvars, dis_tx)
+    batch = make_batch(rng)
+
+    g0 = jax.tree_util.tree_map(lambda x: x.copy(), gen_state.params)
+    d0 = jax.tree_util.tree_map(lambda x: x.copy(), dis_state.params)
+
+    # warmup epoch: no D update, no GAN term
+    gen_state, dis_state, m = step(gen_state, dis_state, batch,
+                                   jax.random.PRNGKey(1), train_d=False,
+                                   add_gan=False)
+    assert np.isfinite(float(m["loss"]))
+    assert "dis" not in m and "gen" not in m
+    assert "KLD" in m and "DIV_REG" in m
+    assert param_l2_delta(g0, gen_state.params) > 0
+    assert param_l2_delta(d0, dis_state.params) == 0  # D untouched in warmup
+
+    # steady state: D + GAN
+    gen_state, dis_state, m = step(gen_state, dis_state, batch,
+                                   jax.random.PRNGKey(2), train_d=True,
+                                   add_gan=True)
+    assert np.isfinite(float(m["dis"])) and np.isfinite(float(m["gen"]))
+    assert param_l2_delta(d0, dis_state.params) > 0
+
+
+def test_autoencoder_loss_decreases(rng):
+    args = tiny_args(model="gesture_autoencoder", learning_rate=1e-3)
+    bundle = factory.init_model(args, None, None, 27)
+    key = jax.random.PRNGKey(0)
+    gvars = factory.generator_init_variables(bundle, args, key, batch_size=4)
+    step, tx = make_embed_train_step(bundle, args)
+    st = state_lib.make_net_state(gvars, tx)
+    batch = {"target_vec": jnp.asarray(0.1 * rng.randn(4, 34, 27),
+                                       jnp.float32)}
+    losses = []
+    for i in range(30):
+        st, m = step(st, batch, jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.8, losses[:3] + losses[-3:]
+
+
+def test_embed_eval_step(rng):
+    args = tiny_args(model="gesture_autoencoder")
+    bundle = factory.init_model(args, None, None, 27)
+    gvars = factory.generator_init_variables(bundle, args,
+                                             jax.random.PRNGKey(0), 4)
+    eval_step = make_embed_eval_step(bundle)
+    batch = {"target_vec": jnp.asarray(0.1 * rng.randn(4, 34, 27),
+                                       jnp.float32)}
+    loss, recon = eval_step(gvars["params"], gvars.get("batch_stats", {}),
+                            batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert recon.shape == (4, 34, 27)
+
+
+def test_joint_embed_train_step(rng):
+    args = tiny_args(model="joint_embedding")
+    bundle = factory.init_model(args, tiny_vocab(), None, 27)
+    gvars = factory.generator_init_variables(bundle, args,
+                                             jax.random.PRNGKey(0), 4)
+    step, tx = make_embed_train_step(bundle, args, mode="random")
+    st = state_lib.make_net_state(gvars, tx)
+    batch = make_batch(rng)
+    st, m = step(st, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_seq2seq_train_step(rng):
+    args = tiny_args(model="seq2seq", hidden_size=32, n_layers=2,
+                     dropout_prob=0.1, loss_regression_weight=250.0,
+                     loss_kld_weight=0.1, loss_reg_weight=25.0)
+    bundle = factory.init_model(args, tiny_vocab(), None, 27)
+    gvars = factory.generator_init_variables(bundle, args,
+                                             jax.random.PRNGKey(0), 4)
+    step, tx = make_seq2seq_train_step(bundle, args)
+    st = state_lib.make_net_state(gvars, tx)
+    batch = make_batch(rng)
+    p0 = jax.tree_util.tree_map(lambda x: x.copy(), st.params)
+    st, m = step(st, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    assert param_l2_delta(p0, st.params) > 0
+
+
+def test_s2g_train_step(rng):
+    args = tiny_args(model="speech2gesture", loss_regression_weight=100.0,
+                     loss_gan_weight=10.0, learning_rate=1e-3)
+    bundle = factory.init_model(args, None, None, 27)
+    key = jax.random.PRNGKey(0)
+    gvars = factory.generator_init_variables(bundle, args, key, 4)
+    dvars = factory.discriminator_init_variables(bundle, args, key, 4)
+    step, gen_tx, dis_tx = make_s2g_train_step(bundle, args)
+    gen_state = state_lib.make_net_state(gvars, gen_tx)
+    dis_state = state_lib.make_net_state(dvars, dis_tx)
+    batch = make_batch(rng)
+    gen_state, dis_state, m = step(gen_state, dis_state, batch,
+                                   jax.random.PRNGKey(1))
+    for k in ("loss", "gen", "dis"):
+        assert np.isfinite(float(m[k])), k
