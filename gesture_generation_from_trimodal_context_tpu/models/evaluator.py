@@ -1,0 +1,102 @@
+"""Fréchet Gesture Distance (FGD) evaluator.
+
+Behavioral contract: reference scripts/model/embedding_space_evaluator.py:15-156.
+Loads the trained pose-autoencoder checkpoint, embeds real and generated
+pose windows into the 32-d latent space (jitted, eval-mode BN), and
+computes the Fréchet distance between the two latent distributions
+(pytorch-fid sqrtm math with the eps fallback) plus the per-sample latent
+MAE and reconstruction-error difference.
+"""
+
+import logging
+
+import numpy as np
+from scipy import linalg
+
+import jax
+import jax.numpy as jnp
+
+from ..train.checkpoint import load_checkpoint_and_model
+
+
+class EmbeddingSpaceEvaluator:
+    def __init__(self, args, embed_net_path, lang_model=None):
+        self.n_pre_poses = args.n_pre_poses
+        (self.net_args, bundle, self.net_vars, _, _, self.pose_dim) = \
+            load_checkpoint_and_model(embed_net_path, jax.random.PRNGKey(0))
+        net = bundle.generator
+
+        @jax.jit
+        def embed(variables, poses):
+            out = net.apply(variables, None, None, None, poses, "pose",
+                            train=False)
+            feat, recon = out[3], out[6]
+            recon_err = jnp.mean(jnp.abs(poses - recon))
+            return feat, recon_err
+
+        self._embed = embed
+        self.reset()
+
+    def reset(self):
+        self.context_feat_list = []
+        self.real_feat_list = []
+        self.generated_feat_list = []
+        self.recon_err_diff = []
+
+    def get_no_of_samples(self):
+        return len(self.real_feat_list)
+
+    def push_samples(self, context_text, context_spec, generated_poses,
+                     real_poses):
+        real_feat, recon_real = self._embed(self.net_vars, real_poses)
+        gen_feat, recon_fake = self._embed(self.net_vars, generated_poses)
+        self.real_feat_list.append(np.asarray(real_feat))
+        self.generated_feat_list.append(np.asarray(gen_feat))
+        self.recon_err_diff.append(float(recon_fake) - float(recon_real))
+
+    def get_scores(self):
+        generated_feats = np.vstack(self.generated_feat_list)
+        real_feats = np.vstack(self.real_feat_list)
+
+        def frechet_distance(samples_a, samples_b):
+            a_mu = np.mean(samples_a, axis=0)
+            a_sigma = np.cov(samples_a, rowvar=False)
+            b_mu = np.mean(samples_b, axis=0)
+            b_sigma = np.cov(samples_b, rowvar=False)
+            try:
+                return calculate_frechet_distance(a_mu, a_sigma, b_mu,
+                                                  b_sigma)
+            except ValueError:
+                return 1e10
+
+        frechet_dist = frechet_distance(generated_feats, real_feats)
+        feat_dist = float(np.mean(np.sum(
+            np.abs(real_feats - generated_feats), axis=1)))
+        return frechet_dist, feat_dist
+
+
+def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
+    """d^2 = ||mu1 - mu2||^2 + Tr(C1 + C2 - 2 sqrt(C1 C2)) — the stable
+    pytorch-fid formulation used by the reference
+    (embedding_space_evaluator.py:103-156)."""
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    assert mu1.shape == mu2.shape
+    assert sigma1.shape == sigma2.shape
+
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    if not np.isfinite(covmean).all():
+        logging.warning("fid calculation produces singular product; "
+                        "adding %s to diagonal of cov estimates", eps)
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+
+    if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            m = np.max(np.abs(covmean.imag))
+            raise ValueError("Imaginary component {}".format(m))
+        covmean = covmean.real
+
+    return (diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
+            - 2 * np.trace(covmean))

@@ -1,0 +1,329 @@
+"""Epoch driver: the training loop for all five model families.
+
+Behavioral contract: reference scripts/train.py:67-329 —
+- evaluate the validation set FIRST each epoch (train.py:114-116),
+- TensorBoard scalars per loss key and per val metric, best-value
+  tracking by FGD when available else val loss (train.py:118-134),
+- checkpoint on best and every 20 epochs, sample videos every 10
+  (train.py:136-163),
+- per-batch dispatch to the model-specific jitted train step,
+- AverageMeter windows printed 5x per epoch with samples/s.
+
+TPU-native differences (SURVEY.md §5/§7): batches are host-assembled then
+sharded over the data mesh; parameters/optimizer state are replicated;
+the whole iteration (D+G) is one compiled program; optional true resume
+from a checkpoint with optimizer state (the reference cannot resume).
+"""
+
+import datetime
+import logging
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+import jax
+
+from ..data.vocab import Vocab
+from ..models import factory
+from ..models.evaluator import EmbeddingSpaceEvaluator
+from ..parallel import mesh as mesh_lib
+from ..utils.average_meter import AverageMeter
+from ..utils.logging_utils import time_since
+from ..utils.tb import MetricWriter
+from . import checkpoint as ckpt_lib
+from .embed import make_embed_train_step
+from .eval_steps import make_eval_step
+from .gan import make_gan_train_step
+from .s2g import make_s2g_train_step
+from .seq2seq_step import make_seq2seq_train_step
+from .state import make_net_state
+
+LOSS_METER_NAMES = ("loss", "var_loss", "gen", "dis", "KLD", "DIV_REG")
+
+
+def _device_batch(batch, mesh):
+    """Ship the numeric parts of a host batch to the mesh."""
+    num = {k: v for k, v in batch.items()
+           if isinstance(v, np.ndarray) and v.dtype != object
+           and not k.startswith("aux_")}
+    return mesh_lib.shard_batch(num, mesh)
+
+
+def _random_vids(speaker_model, batch_size, rs):
+    vals = list(speaker_model.word2index.values())
+    return np.asarray([vals[rs.randint(len(vals))]
+                       for _ in range(batch_size)], np.int32)
+
+
+def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
+                 speaker_model=None, trial_epochs=None, device_mesh=None):
+    start = time.time()
+    loss_meters = [AverageMeter(n) for n in LOSS_METER_NAMES]
+    best_val_loss = (1e10, 0)
+
+    tb_name = args.name if getattr(args, "deterministic_tb_dir", False) else \
+        args.name + "_" + datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+    tb_writer = MetricWriter(str(Path(args.model_save_path).parent /
+                                 "tensorboard_runs" / tb_name))
+
+    n_epochs = trial_epochs or args.epochs
+    print_interval = max(1, int(len(train_loader) / 5))
+    save_sample_interval = 10
+    save_model_interval = 20
+
+    speaker_model = factory.resolve_speaker_model(args, speaker_model)
+
+    # model + mesh
+    bundle = factory.init_model(args, lang_model, speaker_model, pose_dim)
+    mesh = device_mesh or mesh_lib.get_mesh(getattr(args, "dp_devices", -1))
+    seed = args.random_seed if args.random_seed >= 0 else \
+        np.random.randint(0, 2 ** 31 - 1)
+    root_rng = jax.random.PRNGKey(seed)
+    rs = np.random.RandomState(seed)
+
+    gvars = factory.generator_init_variables(bundle, args, root_rng)
+    gvars = factory.load_pretrained_word_embedding(
+        gvars, lang_model.word_embedding_weights
+        if lang_model is not None else None)
+    dvars = factory.discriminator_init_variables(bundle, args, root_rng)
+
+    # FGD evaluator
+    embed_space_evaluator = None
+    if args.eval_net_path and len(args.eval_net_path) > 0 and \
+            os.path.exists(args.eval_net_path):
+        embed_space_evaluator = EmbeddingSpaceEvaluator(
+            args, args.eval_net_path, lang_model)
+    elif args.eval_net_path:
+        logging.warning("eval_net_path %s not found; FGD disabled",
+                        args.eval_net_path)
+
+    # train/eval steps + states
+    model = args.model
+    dis_state = None
+    if model == "multimodal_context":
+        step_fn, gen_tx, dis_tx = make_gan_train_step(bundle, args)
+        gen_state = make_net_state(gvars, gen_tx)
+        dis_state = make_net_state(dvars, dis_tx)
+    elif model in ("joint_embedding", "gesture_autoencoder"):
+        mode = "random" if model == "joint_embedding" else None
+        step_fn, gen_tx = make_embed_train_step(bundle, args, mode=mode)
+        gen_state = make_net_state(gvars, gen_tx)
+    elif model == "seq2seq":
+        step_fn, gen_tx = make_seq2seq_train_step(bundle, args)
+        gen_state = make_net_state(gvars, gen_tx)
+    elif model == "speech2gesture":
+        step_fn, gen_tx, dis_tx = make_s2g_train_step(bundle, args)
+        gen_state = make_net_state(gvars, gen_tx)
+        dis_state = make_net_state(dvars, dis_tx)
+    else:
+        raise ValueError(model)
+
+    eval_step = make_eval_step(bundle, args,
+                               np.array(args.mean_dir_vec).squeeze())
+
+    with mesh:
+        gen_state = mesh_lib.replicate(gen_state, mesh)
+        if dis_state is not None:
+            dis_state = mesh_lib.replicate(dis_state, mesh)
+
+        global_iter = 0
+        best_values = {}
+        for epoch in range(n_epochs):
+            # ---- evaluate FIRST (reference train.py:114-116) ----
+            def current_gen_vars():
+                return {"params": gen_state.params,
+                        "batch_stats": gen_state.batch_stats}
+
+            val_metrics = evaluate_testset(
+                test_loader, current_gen_vars(), eval_step, bundle, args,
+                embed_space_evaluator, speaker_model, mesh, rs, root_rng)
+
+            for key, value in val_metrics.items():
+                tb_writer.add_scalar(key + "/validation", value, global_iter)
+                if key not in best_values or value < best_values[key][0]:
+                    best_values[key] = (value, epoch)
+
+            val_loss = val_metrics.get("frechet", val_metrics["loss"])
+            is_best = val_loss < best_val_loss[0]
+            if is_best:
+                logging.info("  *** BEST VALIDATION LOSS: %.3f", val_loss)
+                best_val_loss = (val_loss, epoch)
+            else:
+                logging.info("  best validation loss so far: %.3f at EPOCH %d",
+                             best_val_loss[0], best_val_loss[1])
+
+            # ---- checkpoint (reference train.py:136-157) ----
+            if is_best or (epoch % save_model_interval == 0 and epoch > 0):
+                if is_best:
+                    save_name = "{}/{}_checkpoint_best.bin".format(
+                        args.model_save_path, args.name)
+                else:
+                    save_name = "{}/{}_checkpoint_{:03d}.bin".format(
+                        args.model_save_path, args.name, epoch)
+                os.makedirs(args.model_save_path, exist_ok=True)
+                ckpt_lib.save_checkpoint({
+                    "args": args, "epoch": epoch, "lang_model": lang_model,
+                    "speaker_model": speaker_model, "pose_dim": pose_dim,
+                    "gen_vars": jax.device_get(current_gen_vars()),
+                    "dis_vars": (jax.device_get(
+                        {"params": dis_state.params,
+                         "batch_stats": dis_state.batch_stats})
+                        if dis_state is not None else None),
+                }, save_name)
+
+            # ---- sample videos (reference train.py:160-163) ----
+            if args.save_result_video and epoch % save_sample_interval == 0:
+                try:
+                    evaluate_sample_and_save_video(
+                        epoch, args.name, test_loader, current_gen_vars(),
+                        eval_step, args, lang_model, speaker_model, rs)
+                except Exception as e:  # video writing must never kill a run
+                    logging.warning("sample video failed: %s", e)
+
+            # ---- train pass ----
+            iter_start_time = time.time()
+            for iter_idx, batch in enumerate(train_loader):
+                global_iter += 1
+                batch_size = batch["target_vec"].shape[0]
+                vids = None
+                if speaker_model and isinstance(speaker_model, Vocab):
+                    vids = np.asarray(
+                        [speaker_model.word2index[v]
+                         for v in batch["aux_vids"]], np.int32)
+                    batch = dict(batch, vid_indices=vids)
+                dbatch = _device_batch(batch, mesh)
+                rng = jax.random.fold_in(root_rng, global_iter)
+
+                if model == "multimodal_context":
+                    train_d = (epoch > args.loss_warmup
+                               and args.loss_gan_weight > 0.0)
+                    add_gan = epoch > args.loss_warmup
+                    gen_state, dis_state, loss_dict = step_fn(
+                        gen_state, dis_state, dbatch, rng,
+                        train_d=train_d, add_gan=add_gan)
+                elif model == "speech2gesture":
+                    gen_state, dis_state, loss_dict = step_fn(
+                        gen_state, dis_state, dbatch, rng)
+                else:
+                    gen_state, loss_dict = step_fn(gen_state, dbatch, rng)
+
+                for meter in loss_meters:
+                    if meter.name in loss_dict:
+                        meter.update(float(loss_dict[meter.name]), batch_size)
+                for key, value in loss_dict.items():
+                    tb_writer.add_scalar(key + "/train", float(value),
+                                         global_iter)
+
+                if (iter_idx + 1) % print_interval == 0:
+                    summary = "EP {} ({:3d}) | {:>8s}, {:.0f} samples/s | ".format(
+                        epoch, iter_idx + 1, time_since(start),
+                        batch_size / max(1e-6, time.time() - iter_start_time))
+                    for meter in loss_meters:
+                        if meter.count > 0:
+                            summary += "{}: {:.3f}, ".format(meter.name,
+                                                             meter.avg)
+                            meter.reset()
+                    logging.info(summary)
+                iter_start_time = time.time()
+
+    tb_writer.close()
+    logging.info("--------- best loss values ---------")
+    for key in best_values:
+        logging.info("%s: %.3f at EPOCH %d", key, best_values[key][0],
+                     best_values[key][1])
+    return gen_state, dis_state, best_values
+
+
+def evaluate_testset(test_loader, gen_vars, eval_step, bundle, args,
+                     embed_space_evaluator, speaker_model, mesh, rs,
+                     root_rng):
+    """Validation pass (reference train.py:234-329)."""
+    if embed_space_evaluator:
+        embed_space_evaluator.reset()
+    losses = AverageMeter("loss")
+    joint_mae = AverageMeter("mae_on_joint")
+    accel = AverageMeter("accel")
+    start = time.time()
+
+    for i, batch in enumerate(test_loader):
+        batch_size = batch["target_vec"].shape[0]
+        vids = None
+        if speaker_model and isinstance(speaker_model, Vocab):
+            vids = _random_vids(speaker_model, batch_size, rs)
+        dbatch = _device_batch(batch, mesh)
+        dvids = mesh_lib.shard_batch(vids, mesh) if vids is not None else None
+        rng = jax.random.fold_in(root_rng, 777_000 + i)
+
+        loss, out, mae, acc = eval_step(gen_vars, dbatch, dvids, rng)
+        losses.update(float(loss), batch_size)
+        if bundle.model_name != "gesture_autoencoder":
+            if embed_space_evaluator:
+                embed_space_evaluator.push_samples(
+                    dbatch.get("in_text"), dbatch.get("in_audio"), out,
+                    dbatch["target_vec"])
+            joint_mae.update(float(mae), batch_size)
+            accel.update(float(acc), batch_size)
+
+    ret = {"loss": losses.avg, "joint_mae": joint_mae.avg}
+    elapsed = time.time() - start
+    if embed_space_evaluator and embed_space_evaluator.get_no_of_samples() > 0:
+        frechet_dist, feat_dist = embed_space_evaluator.get_scores()
+        logging.info(
+            "[VAL] loss: %.3f, joint mae: %.5f, accel diff: %.5f, "
+            "FGD: %.3f, feat_D: %.3f / %.1fs",
+            losses.avg, joint_mae.avg, accel.avg, frechet_dist, feat_dist,
+            elapsed)
+        ret["frechet"] = frechet_dist
+        ret["feat_dist"] = feat_dist
+    else:
+        logging.info("[VAL] loss: %.3f, joint mae: %.3f / %.1fs",
+                     losses.avg, joint_mae.avg, elapsed)
+    return ret
+
+
+def evaluate_sample_and_save_video(epoch, prefix, test_loader, gen_vars,
+                                   eval_step, args, lang_model,
+                                   speaker_model, rs, n_save=None,
+                                   save_path=None):
+    """Render a few val samples to MP4 (reference train.py:332-428)."""
+    from ..utils.video import create_video_and_save
+    if not n_save:
+        n_save = 1 if epoch <= 0 else 5
+
+    out_raw = []
+    for iter_idx, batch in enumerate(test_loader):
+        if iter_idx >= n_save:
+            break
+        one = {k: (v[:1] if isinstance(v, np.ndarray) else v[:1])
+               for k, v in batch.items()}
+        vids = None
+        if speaker_model and isinstance(speaker_model, Vocab):
+            vids = _random_vids(speaker_model, 1, rs)
+        rng = jax.random.PRNGKey(9000 + iter_idx)
+        num = {k: v for k, v in one.items()
+               if isinstance(v, np.ndarray) and v.dtype != object}
+        _, out, _, _ = eval_step(gen_vars, num, vids, rng)
+
+        sentence = ""
+        if lang_model is not None and "in_text" in one:
+            words = [lang_model.index2word[int(w)]
+                     for w in one["in_text"][0] if int(w) > 0]
+            sentence = " ".join(words)
+
+        target = np.asarray(one["target_vec"][0])
+        out_vec = np.asarray(out[0])
+        mean_data = np.array(args.mean_dir_vec).squeeze().reshape(-1, 3)
+        save_dir = save_path or args.model_save_path
+        os.makedirs(save_dir, exist_ok=True)
+        audio = one.get("in_audio")
+        create_video_and_save(
+            save_dir, epoch, prefix, iter_idx, target, out_vec, mean_data,
+            sentence, audio=np.asarray(audio[0]) if audio is not None
+            else None)
+        out_raw.append({
+            "sentence": sentence,
+            "out_dir_vec": out_vec + mean_data.flatten(),
+            "human_dir_vec": target + mean_data.flatten(),
+        })
+    return out_raw

@@ -1,0 +1,124 @@
+"""FGD feature-extractor trainer (H3.6M pose autoencoder).
+
+Behavioral contract: reference scripts/train_feature_extractor.py:100-237 —
+`python scripts/train_feature_extractor.py --config=config/gesture_autoencoder.yml`
+trains EmbeddingNet(mode='pose') on Human3.6M windows with recon +
+pose-diff L1 loss, eval-first epochs, best-checkpointing, sample videos.
+"""
+
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+from gesture_generation_from_trimodal_context_tpu.config.parse_args import parse_args
+from gesture_generation_from_trimodal_context_tpu.data.h36m import Human36M
+from gesture_generation_from_trimodal_context_tpu.models import factory
+from gesture_generation_from_trimodal_context_tpu.train import checkpoint as ckpt_lib
+from gesture_generation_from_trimodal_context_tpu.train.embed import (
+    make_embed_eval_step, make_embed_train_step)
+from gesture_generation_from_trimodal_context_tpu.train.state import make_net_state
+from gesture_generation_from_trimodal_context_tpu.utils.average_meter import AverageMeter
+from gesture_generation_from_trimodal_context_tpu.utils.logging_utils import (
+    set_logger, set_random_seed, time_since)
+
+POSE_DIM = 27
+H36M_PATH = "data/h36m/data_3d_h36m.npz"
+
+
+def evaluate_testset(dataset, eval_step, gen_vars, batch_size):
+    losses = AverageMeter("loss")
+    start = time.time()
+    n_batches = len(dataset) // batch_size
+    for bi in range(n_batches):
+        batch = dataset.make_batch(
+            np.arange(bi * batch_size, (bi + 1) * batch_size))
+        loss, _ = eval_step(gen_vars["params"], gen_vars["batch_stats"],
+                            {"target_vec": batch["target_vec"]},
+                            jax.random.PRNGKey(bi))
+        losses.update(float(loss), batch_size)
+    logging.info("[VAL] loss: %.3f / %.1fs", losses.avg, time.time() - start)
+    return {"loss": losses.avg}
+
+
+def main(args, h36m_path=None, trial_epochs=None):
+    if args.random_seed >= 0:
+        set_random_seed(args.random_seed)
+    set_logger(args.model_save_path, "train_feature_extractor.log")
+
+    path = h36m_path or H36M_PATH
+    mean_dir_vec = np.squeeze(np.array(args.mean_dir_vec))
+    train_dataset = Human36M(path, mean_dir_vec, is_train=True, augment=False)
+    val_dataset = Human36M(path, mean_dir_vec, is_train=False, augment=False)
+    logging.info("h36m windows: train %d, val %d", len(train_dataset),
+                 len(val_dataset))
+
+    bundle = factory.init_model(args, None, None, POSE_DIM)
+    rng = jax.random.PRNGKey(max(args.random_seed, 0))
+    gvars = factory.generator_init_variables(bundle, args, rng)
+    # pose-diff term enabled (reference train_feature_extractor.py:67-70)
+    step_fn, tx = make_embed_train_step(bundle, args, use_pose_diff=True)
+    eval_step = make_embed_eval_step(bundle)
+    state = make_net_state(gvars, tx)
+
+    start = time.time()
+    best_val_loss = (1e10, 0)
+    batch_size = args.batch_size
+    n_epochs = trial_epochs or args.epochs
+    n_batches = len(train_dataset) // batch_size
+    print_interval = max(1, int(n_batches / 5))
+    loss_meter = AverageMeter("loss")
+    rs = np.random.RandomState(max(args.random_seed, 0))
+
+    global_iter = 0
+    for epoch in range(n_epochs):
+        gen_vars = {"params": state.params, "batch_stats": state.batch_stats}
+        val_metrics = evaluate_testset(val_dataset, eval_step, gen_vars,
+                                       batch_size)
+        val_loss = val_metrics["loss"]
+        is_best = val_loss < best_val_loss[0]
+        if is_best:
+            logging.info("  *** BEST VALIDATION LOSS: %.3f", val_loss)
+            best_val_loss = (val_loss, epoch)
+            os.makedirs(args.model_save_path, exist_ok=True)
+            save_name = "{}/{}_checkpoint_best.bin".format(
+                args.model_save_path, args.name)
+            ckpt_lib.save_checkpoint({
+                "args": args, "epoch": epoch, "lang_model": None,
+                "speaker_model": None, "pose_dim": POSE_DIM,
+                "gen_vars": jax.device_get(gen_vars), "dis_vars": None,
+            }, save_name)
+        else:
+            logging.info("  best validation loss so far: %.3f at EPOCH %d",
+                         best_val_loss[0], best_val_loss[1])
+
+        order = np.arange(len(train_dataset))
+        rs.shuffle(order)
+        iter_start = time.time()
+        for bi in range(n_batches):
+            global_iter += 1
+            batch = train_dataset.make_batch(
+                order[bi * batch_size:(bi + 1) * batch_size])
+            state, metrics = step_fn(
+                state, {"target_vec": batch["target_vec"]},
+                jax.random.fold_in(rng, global_iter))
+            loss_meter.update(float(metrics["loss"]), batch_size)
+            if (bi + 1) % print_interval == 0:
+                logging.info(
+                    "EP %d (%3d) | %8s, %.0f samples/s | loss: %.3f",
+                    epoch, bi + 1, time_since(start),
+                    batch_size / max(1e-6, time.time() - iter_start),
+                    loss_meter.avg)
+                loss_meter.reset()
+            iter_start = time.time()
+
+    return best_val_loss
+
+
+if __name__ == "__main__":
+    main(parse_args())
