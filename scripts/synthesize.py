@@ -1,0 +1,221 @@
+"""Synthesis entry point.
+
+Behavioral contract: reference scripts/synthesize.py:232-441 — same CLI
+(`python scripts/synthesize.py {eval,from_db_clip,from_text} <ckpt> [opt]`)
+and the same artifact set: side-by-side MP4, WAV, and a PKL dict with keys
+{sentence, audio, out_dir_vec, out_poses, aux_info[, human_dir_vec]}.
+"""
+
+import datetime
+import logging
+import os
+import pickle
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+from gesture_generation_from_trimodal_context_tpu.data.dataset import (
+    BatchIterator, SpeechMotionDataset)
+from gesture_generation_from_trimodal_context_tpu.data.storage import open_raw_store
+from gesture_generation_from_trimodal_context_tpu.models.evaluator import (
+    EmbeddingSpaceEvaluator)
+from gesture_generation_from_trimodal_context_tpu.ops import skeleton
+from gesture_generation_from_trimodal_context_tpu.ops.text import remove_tags_marks
+from gesture_generation_from_trimodal_context_tpu.parallel import mesh as mesh_lib
+from gesture_generation_from_trimodal_context_tpu.synthesis.engine import (
+    generate_gestures)
+from gesture_generation_from_trimodal_context_tpu.synthesis.tts import (
+    TTSHelper, align_words, load_wav_16k)
+from gesture_generation_from_trimodal_context_tpu.train import checkpoint as ckpt_lib
+from gesture_generation_from_trimodal_context_tpu.train.eval_steps import make_eval_step
+from gesture_generation_from_trimodal_context_tpu.train.loops import evaluate_testset
+from gesture_generation_from_trimodal_context_tpu.utils.logging_utils import set_logger
+from gesture_generation_from_trimodal_context_tpu.utils.video import (
+    create_video_and_save)
+
+TEXT_EXAMPLES = [
+    'yesterday i heard a wonderful story about a little robot learning '
+    'to wave at people',
+    'we can help millions of teens with counseling',
+    'what an amazing day that will be. what a big opportunity we have.',
+    'just the way a surgeon operates on a patient you can literally '
+    'interact with your table',
+    '[Enter a new text]',
+]
+
+
+def main(mode, checkpoint_path, option, data_base="data/ted_dataset"):
+    args, bundle, gen_vars, lang_model, speaker_model, pose_dim = \
+        ckpt_lib.load_checkpoint_and_model(checkpoint_path,
+                                           jax.random.PRNGKey(0))
+    result_save_path = "output/generation_results"
+    mean_pose = np.array(args.mean_pose).squeeze()
+    mean_dir_vec = np.array(args.mean_dir_vec).squeeze()
+
+    # prefer the dataset-built vocab cache when present
+    # (reference synthesize.py:242-244)
+    vocab_cache_path = os.path.join(data_base, "vocab_cache.pkl")
+    if os.path.exists(vocab_cache_path):
+        with open(vocab_cache_path, "rb") as f:
+            lang_model = pickle.load(f)
+
+    if mode == "eval":
+        val_data_path = os.path.join(data_base, "lmdb_val")
+        embed_space_evaluator = None
+        if args.eval_net_path and os.path.exists(args.eval_net_path):
+            embed_space_evaluator = EmbeddingSpaceEvaluator(
+                args, args.eval_net_path, lang_model)
+        val_dataset = SpeechMotionDataset(
+            val_data_path, n_poses=args.n_poses,
+            subdivision_stride=args.subdivision_stride,
+            pose_resampling_fps=args.motion_resampling_framerate,
+            speaker_model=speaker_model, mean_pose=mean_pose,
+            mean_dir_vec=mean_dir_vec)
+        val_dataset.set_lang_model(lang_model)
+        loader = BatchIterator(val_dataset, 32, shuffle=False)
+        mesh = mesh_lib.get_mesh(1)
+        eval_step = make_eval_step(bundle, args, mean_dir_vec)
+        with mesh:
+            evaluate_testset(loader, gen_vars, eval_step, bundle, args,
+                             embed_space_evaluator, speaker_model, mesh,
+                             np.random.RandomState(0),
+                             jax.random.PRNGKey(0))
+
+    elif mode == "from_text":
+        random.seed()
+        voice = option if option else "en-female"
+        vid = random.sample(range(speaker_model.n_words), 1)[0] \
+            if speaker_model is not None and hasattr(speaker_model,
+                                                     "n_words") else None
+        tts = TTSHelper(cache_path="output/cached_wav")
+
+        for i, example in enumerate(TEXT_EXAMPLES):
+            print("(%d) %s" % (i, example))
+        try:
+            select = int(input("select: "))
+        except ValueError:
+            return
+        if select == len(TEXT_EXAMPLES) - 1:
+            input_text = input("text: ")
+        elif select >= len(TEXT_EXAMPLES) or select < 0:
+            print("Please input a valid number. Exiting...")
+            return
+        else:
+            input_text = TEXT_EXAMPLES[select]
+
+        text_without_tags = remove_tags_marks(input_text)
+        print(text_without_tags)
+
+        tts_filename = tts.synthesis(input_text, voice_name=voice)
+        _, duration = tts.get_sound_obj(tts_filename)
+        print("TTS complete (audio length: {0:.1f}s)".format(duration))
+        audio, audio_sr = load_wav_16k(tts_filename)
+        words_with_timestamps = align_words(audio, text_without_tags)
+
+        dir_vec = generate_gestures(args, bundle, gen_vars, lang_model,
+                                    audio, words_with_timestamps, vid=vid,
+                                    fade_out=False)
+
+        os.makedirs(result_save_path, exist_ok=True)
+        prefix = "{}_vid_{}_{}".format(text_without_tags[:50], vid, voice)
+        out_pos, _ = create_video_and_save(
+            result_save_path, 0, prefix, 0, None, dir_vec, mean_dir_vec,
+            text_without_tags, audio=audio,
+            clipping_to_shortest_stream=True, delete_audio_file=False)
+        save_dict = {
+            "sentence": words_with_timestamps, "audio": audio,
+            "out_dir_vec": dir_vec + mean_dir_vec, "out_poses": out_pos,
+            "aux_info": "",
+        }
+        with open(os.path.join(result_save_path, prefix + ".pkl"),
+                  "wb") as f:
+            pickle.dump(save_dict, f)
+
+    elif mode == "from_db_clip":
+        test_data_path = os.path.join(data_base, "lmdb_test")
+        save_path = result_save_path
+        clip_duration_range = [5, 12]
+        random.seed()
+        n_generations = int(option) if option else 5
+
+        n_saved = 0
+        store = open_raw_store(test_data_path)
+        keys = store.keys()
+        while n_saved < n_generations:
+            key = random.choice(keys)
+            video = store.get(key)
+            vid = video["vid"]
+            clips = video["clips"]
+            if len(clips) == 0:
+                continue
+            clip = clips[random.randrange(len(clips))]
+            clip_poses = clip["skeletons_3d"]
+            clip_audio = clip["audio_raw"]
+            clip_words = [list(w) for w in clip["words"]]
+            clip_time = [clip["start_time"], clip["end_time"]]
+
+            clip_duration = clip_time[1] - clip_time[0]
+            if not (clip_duration_range[0] <= clip_duration
+                    <= clip_duration_range[1]):
+                continue
+
+            clip_poses = skeleton.resample_pose_seq(
+                clip_poses, clip_duration, args.motion_resampling_framerate)
+            target_dir_vec = skeleton.convert_pose_seq_to_dir_vec_np(
+                clip_poses)
+            target_dir_vec = target_dir_vec.reshape(
+                target_dir_vec.shape[0], -1) - mean_dir_vec
+
+            for w in clip_words:  # zero-base word times
+                w[1] -= clip_time[0]
+                w[2] -= clip_time[0]
+
+            vid_idx = random.sample(range(speaker_model.n_words), 1)[0] \
+                if speaker_model is not None and hasattr(speaker_model,
+                                                         "n_words") else None
+            out_dir_vec = generate_gestures(
+                args, bundle, gen_vars, lang_model, clip_audio, clip_words,
+                vid=vid_idx,
+                seed_seq=target_dir_vec[0:args.n_pre_poses],
+                fade_out=False)
+
+            sentence = " ".join(w[0] for w in clip_words)
+            os.makedirs(save_path, exist_ok=True)
+            filename_prefix = "{}_{}_{}".format(vid, vid_idx, n_saved)
+            aux_str = "({}, time: {}-{})".format(
+                vid, str(datetime.timedelta(seconds=clip_time[0])),
+                str(datetime.timedelta(seconds=clip_time[1])))
+            create_video_and_save(
+                save_path, 0, filename_prefix, 0, target_dir_vec,
+                out_dir_vec, mean_dir_vec, sentence, audio=clip_audio,
+                aux_str=aux_str, clipping_to_shortest_stream=True,
+                delete_audio_file=False)
+
+            out_dir_vec = out_dir_vec + mean_dir_vec
+            out_poses = skeleton.convert_dir_vec_to_pose_np(out_dir_vec)
+            save_dict = {
+                "sentence": sentence,
+                "audio": np.asarray(clip_audio, np.float32),
+                "out_dir_vec": out_dir_vec, "out_poses": out_poses,
+                "aux_info": filename_prefix,
+                "human_dir_vec": target_dir_vec + mean_dir_vec,
+            }
+            with open(os.path.join(save_path, filename_prefix + ".pkl"),
+                      "wb") as f:
+                pickle.dump(save_dict, f)
+            n_saved += 1
+        store.close()
+    else:
+        raise SystemExit("wrong mode (expected eval|from_db_clip|from_text)")
+
+
+if __name__ == "__main__":
+    mode_arg = sys.argv[1]
+    ckpt_arg = sys.argv[2]
+    option_arg = sys.argv[3] if len(sys.argv) > 3 else None
+    set_logger()
+    main(mode_arg, ckpt_arg, option_arg)
