@@ -89,6 +89,18 @@ class SpeechMotionDataset:
 
     def set_lang_model(self, lang_model):
         self.lang_model = lang_model
+        # Pre-tokenize every sample's word list into flat ragged arrays so
+        # batch assembly is pure numeric work (native/ggloader.cc or the
+        # numpy fallback) with no dict lookups in the hot path.
+        ids, starts, offsets = [], [], [0]
+        for words in self.store.words:
+            for w in words:
+                ids.append(lang_model.get_word_index(w[0]))
+                starts.append(w[1])
+            offsets.append(len(ids))
+        self._tok_ids = np.asarray(ids, np.int32)
+        self._tok_starts = np.asarray(starts, np.float32)
+        self._tok_offsets = np.asarray(offsets, np.int64)
 
     def _make_speaker_model(self, data_dir, cache_path):
         logging.info("  building a speaker model...")
@@ -104,78 +116,47 @@ class SpeechMotionDataset:
 
     # ---- batch assembly -------------------------------------------------
 
-    def _word_tensors(self, idx, start_time, sample_end_time):
-        """(extended_word_indices (n_poses,), word_ids (cap,), n_words).
-
-        Both tensors use the clipped window end (reference
-        lmdb_data_loader.py:164-165 passes sample_end_time to both)."""
-        lang = self.lang_model
-        words = self.store.words[idx]
-        n_frames = self.n_poses
-        frame_duration = (sample_end_time - start_time) / n_frames
-
-        extended = np.zeros(n_frames, np.int32)
-        if self.remove_word_timing:
-            n_words = 0
-            for word in words:
-                w_idx = max(0, int(np.floor(
-                    (word[1] - start_time) / frame_duration)))
-                if w_idx < n_frames:
-                    n_words += 1
-            space = int(n_frames / (n_words + 1))
-            for i in range(n_words):
-                extended[(i + 1) * space] = lang.get_word_index(words[i][0])
-        else:
-            for word in words:
-                w_idx = max(0, int(np.floor(
-                    (word[1] - start_time) / frame_duration)))
-                if w_idx < n_frames:
-                    extended[w_idx] = lang.get_word_index(word[0])
-
-        ids = [lang.SOS_token]
-        for word in words:
-            if sample_end_time is not None and word[1] > sample_end_time:
-                break
-            ids.append(lang.get_word_index(word[0]))
-        ids.append(lang.EOS_token)
-        ids = ids[:self.word_cap]
-        padded = np.zeros(self.word_cap, np.int32)
-        padded[:len(ids)] = ids
-        return extended, padded, len(ids)
-
     def make_batch(self, indices):
-        """Assemble a statically-shaped batch dict from sample indices."""
-        idx = np.asarray(indices)
+        """Assemble a statically-shaped batch dict from sample indices.
+
+        Fixed-shape fields come from native (or numpy) memmap gathers with
+        the window clip fused in; word tensors from the native scatter."""
+        from ..native import loader as native
+
+        idx = np.ascontiguousarray(indices, np.int64)
         n = self.n_poses
-        vec = self.store.gather("vec_seq", idx)[:, :n]
-        pose = self.store.gather("pose_seq", idx)[:, :n]
-        audio_raw = self.store.gather("audio", idx)
-        spec = self.store.gather("spectrogram", idx)
-        aux = self.store.gather("aux_num", idx)  # start_f, end_f, start_t, end_t
-
         b = len(idx)
-        # fix audio length (cached window is the extended one)
-        if audio_raw.shape[1] >= self.expected_audio_length:
-            audio_fixed = audio_raw[:, :self.expected_audio_length]
-        else:
-            pad = self.expected_audio_length - audio_raw.shape[1]
-            audio_fixed = np.pad(audio_raw, ((0, 0), (0, pad)),
+        arrays = self.store.arrays
+
+        vec = native.gather(arrays["vec_seq"], idx, copy_count=n)
+        pose = native.gather(arrays["pose_seq"], idx, copy_count=n)
+        # fix audio length: the cached window is longer (extended), so the
+        # clip path of make_audio_fixed_length applies
+        # (reference lmdb_data_loader.py:156)
+        audio_fixed = native.gather(arrays["audio"], idx,
+                                    copy_count=min(
+                                        self.expected_audio_length,
+                                        arrays["audio"].shape[1]))
+        if audio_fixed.shape[1] < self.expected_audio_length:
+            pad = self.expected_audio_length - audio_fixed.shape[1]
+            audio_fixed = np.pad(audio_fixed, ((0, 0), (0, pad)),
                                  mode="symmetric")
-        spec_fixed = spec[:, :, :self.expected_spectrogram_length]
+        spec_fixed = native.gather(arrays["spectrogram"], idx)[
+            :, :, :self.expected_spectrogram_length]
+        aux = native.gather(arrays["aux_num"], idx)
 
-        ext_words = np.zeros((b, n), np.int32)
-        word_ids = np.zeros((b, self.word_cap), np.int32)
-        word_lengths = np.zeros((b,), np.int32)
-        vids = []
-        for j, i in enumerate(idx):
-            start_t, end_t = aux[j, 2], aux[j, 3]
-            duration = end_t - start_t
-            n_cached = self.store.arrays["vec_seq"].shape[1]
-            sample_end_time = start_t + duration * n / n_cached
-            ew, wi, wl = self._word_tensors(int(i), start_t, sample_end_time)
-            ext_words[j], word_ids[j], word_lengths[j] = ew, wi, wl
-            vids.append(self.store.vids[int(i)])
+        start_t = aux[:, 2]
+        end_t = aux[:, 3]
+        n_cached = arrays["vec_seq"].shape[1]
+        sample_end = start_t + (end_t - start_t) * n / n_cached
+        frame_dur = (sample_end - start_t) / n
+        ext_words, word_ids, word_lengths = native.word_scatter(
+            self._tok_ids, self._tok_starts, self._tok_offsets, idx,
+            start_t, sample_end, frame_dur, n, self.word_cap,
+            self.lang_model.SOS_token, self.lang_model.EOS_token,
+            self.remove_word_timing)
 
+        vids = [self.store.vids[int(i)] for i in idx]
         return {
             "word_seq": word_ids,
             "word_lengths": word_lengths,
