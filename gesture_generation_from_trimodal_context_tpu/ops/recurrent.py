@@ -27,6 +27,26 @@ from flax import linen as nn
 
 from .init import uniform_init
 
+# Which sequence implementation GRU modules use: "scan" (lax.scan, default)
+# or "pallas" (the fused on-core kernel in ops/pallas_gru.py — fastest for
+# inference/synthesis).  Resolved at trace time: set it BEFORE building a
+# jitted function (jit caches do not observe later changes).
+_GRU_IMPL = "scan"
+
+
+def set_gru_impl(name):
+    global _GRU_IMPL
+    if name not in ("scan", "pallas"):
+        raise ValueError(name)
+    _GRU_IMPL = name
+
+
+def run_gru_direction(wi, bi, wh, bh, x, h0, reverse=False):
+    if _GRU_IMPL == "pallas":
+        from .pallas_gru import pallas_gru
+        return pallas_gru(wi, bi, wh, bh, x, h0, reverse)
+    return gru_scan(wi, bi, wh, bh, x, h0, reverse=reverse)
+
 
 def gru_scan(wi, bi, wh, bh, x, h0, reverse=False):
     """Run one GRU direction over a full sequence.
@@ -95,9 +115,9 @@ class GRU(nn.Module):
                 wh = self.param("weight_hh_" + sfx, bound_init, (3 * h, h))
                 bi = self.param("bias_ih_" + sfx, bound_init, (3 * h,))
                 bh = self.param("bias_hh_" + sfx, bound_init, (3 * h,))
-                out, h_fin = gru_scan(wi, bi, wh, bh, layer_in,
-                                      h0[layer * num_dir + d],
-                                      reverse=bool(d))
+                out, h_fin = run_gru_direction(wi, bi, wh, bh, layer_in,
+                                               h0[layer * num_dir + d],
+                                               reverse=bool(d))
                 outs.append(out)
                 h_finals.append(h_fin)
             layer_in = outs[0] if num_dir == 1 else jnp.concatenate(outs, -1)

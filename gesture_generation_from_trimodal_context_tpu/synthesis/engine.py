@@ -79,6 +79,9 @@ def generate_gestures(args, bundle, gen_vars, lang_model, audio, words,
         random.randrange(2 ** 31))
 
     use_spectrogram = bundle.model_name == "speech2gesture"
+    if getattr(args, "use_pallas", False):
+        from ..ops.recurrent import set_gru_impl
+        set_gru_impl("pallas")
     window_fn = _make_window_fn(bundle, args)
 
     # seed pre-seq (reference synthesize.py:47-50)
