@@ -1,0 +1,291 @@
+"""Read-only LMDB + legacy-pyarrow compatibility layer.
+
+Lets this framework consume the published TED dataset directory
+unchanged (reference README data layout: lmdb_train/lmdb_val/lmdb_test
+LMDB environments whose values are pyarrow-0.14 ``serialize`` blobs,
+reference data_preprocessor.py:46, lmdb_data_loader.py:112).  Neither the
+``lmdb`` package nor the removed ``pyarrow.deserialize`` API exists in
+this environment, so both layers are implemented here:
+
+- ``LMDBReader``: a pure-python mmap walker of the LMDB file format
+  (meta pages -> main DB B-tree -> leaf nodes, with overflow-page
+  values).  Read-only, zero-copy for overflow values.
+- ``legacy_arrow_deserialize``: a decoder for the pyarrow 0.14 python
+  serialization format: a small header, an Arrow IPC stream holding the
+  object tree as list<dense_union<...>> (decoded with the *modern*
+  pyarrow that is installed — the IPC stream schema is self-describing),
+  followed by aligned Tensor messages for numpy arrays.
+
+Validated against hand-built fixtures (tests/test_lmdb_compat.py); see
+tools/convert_ted_lmdb.py for the offline conversion path on machines
+that still have pyarrow 0.14.
+"""
+
+import mmap
+import os
+import struct
+
+import numpy as np
+
+# page flags (lmdb mdb.c)
+P_BRANCH = 0x01
+P_LEAF = 0x02
+P_OVERFLOW = 0x04
+P_META = 0x08
+P_LEAF2 = 0x20
+# node flags
+F_BIGDATA = 0x01
+
+PAGEHDRSZ = 16
+MDB_MAGIC = 0xBEEFC0DE
+
+
+class LMDBReader:
+    """Iterate (key, value) of an LMDB environment's main database."""
+
+    def __init__(self, path):
+        data_path = os.path.join(path, "data.mdb") \
+            if os.path.isdir(path) else path
+        self._f = open(data_path, "rb")
+        self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
+        meta = self._read_meta()
+        self.psize = meta["psize"]
+        self.main_root = meta["main_root"]
+        self.n_entries = meta["main_entries"]
+
+    def _read_meta_at(self, off):
+        m = self._mm
+        magic, version = struct.unpack_from("<II", m, off)
+        if magic != MDB_MAGIC:
+            raise ValueError("bad LMDB meta magic at %d" % off)
+        # mm_address (8), mm_mapsize (8)
+        dbs_off = off + 8 + 16
+        metas = []
+        for i in range(2):
+            o = dbs_off + i * 48
+            pad, flags, depth = struct.unpack_from("<IHH", m, o)
+            branch, leaf, overflow, entries, root = struct.unpack_from(
+                "<QQQQQ", m, o + 8)
+            metas.append({"pad": pad, "flags": flags, "depth": depth,
+                          "entries": entries, "root": root})
+        last_pg, txnid = struct.unpack_from("<QQ", m, dbs_off + 96)
+        return {"txnid": txnid, "psize": metas[0]["pad"],
+                "main_root": metas[1]["root"],
+                "main_entries": metas[1]["entries"]}
+
+    def _read_meta(self):
+        # meta pages live in pages 0 and 1 (page header then MDB_meta);
+        # the live one has the larger txnid
+        m0 = self._read_meta_at(PAGEHDRSZ)
+        psize = m0["psize"] or 4096
+        m1 = self._read_meta_at(psize + PAGEHDRSZ)
+        return m0 if m0["txnid"] >= m1["txnid"] else m1
+
+    def _page(self, pgno):
+        off = pgno * self.psize
+        flags, = struct.unpack_from("<H", self._mm, off + 10)
+        lower, upper = struct.unpack_from("<HH", self._mm, off + 12)
+        return off, flags, lower, upper
+
+    def _iter_page(self, pgno):
+        off, flags, lower, upper = self._page(pgno)
+        if flags & P_LEAF2:
+            raise NotImplementedError("LEAF2 (fixed-size dupsort) pages")
+        nkeys = (lower - PAGEHDRSZ) >> 1
+        ptrs = struct.unpack_from("<%dH" % nkeys, self._mm, off + PAGEHDRSZ)
+        if flags & P_BRANCH:
+            for p in ptrs:
+                node = off + p
+                lo, hi, nflags, ksize = struct.unpack_from(
+                    "<HHHH", self._mm, node)
+                child = lo | (hi << 16) | (nflags << 32)
+                yield from self._iter_page(child)
+        elif flags & P_LEAF:
+            for p in ptrs:
+                node = off + p
+                lo, hi, nflags, ksize = struct.unpack_from(
+                    "<HHHH", self._mm, node)
+                datasize = lo | (hi << 16)
+                key = bytes(self._mm[node + 8:node + 8 + ksize])
+                if nflags & F_BIGDATA:
+                    ovf_pgno, = struct.unpack_from(
+                        "<Q", self._mm, node + 8 + ksize)
+                    ovf_off = ovf_pgno * self.psize
+                    value = self._mm[ovf_off + PAGEHDRSZ:
+                                     ovf_off + PAGEHDRSZ + datasize]
+                else:
+                    d0 = node + 8 + ksize
+                    value = self._mm[d0:d0 + datasize]
+                yield key, bytes(value)
+        else:
+            raise ValueError("unexpected page flags 0x%x" % flags)
+
+    def items(self):
+        if self.main_root == 0xFFFFFFFFFFFFFFFF:
+            return
+        yield from self._iter_page(self.main_root)
+
+    def close(self):
+        self._mm.close()
+        self._f.close()
+
+
+# ---------------------------------------------------------------------------
+# legacy pyarrow 0.14 python-serialization decoding
+# ---------------------------------------------------------------------------
+
+def _align(n, k):
+    return (n + k - 1) & ~(k - 1)
+
+
+def legacy_arrow_deserialize(buf):
+    """Decode a pyarrow-0.14 ``serialize`` blob into Python objects.
+
+    Layout (arrow cpp python/serialize.cc SerializedPyObject::WriteTo):
+    three little-endian int32 counts (tensors, ndarrays, buffers), stream
+    alignment to 8, an Arrow IPC stream with one record batch (single
+    list<union> column, one row = the root object), then 64-aligned
+    Tensor messages for each tensor/ndarray and raw (int64 size, bytes)
+    pairs for each buffer."""
+    import pyarrow as pa
+
+    num_tensors, num_ndarrays, num_buffers = struct.unpack_from(
+        "<iii", buf, 0)
+    pos = _align(12, 8)
+
+    stream = pa.input_stream(pa.py_buffer(buf[pos:]))
+    reader = pa.ipc.open_stream(stream)
+    batch = reader.read_next_batch()
+    try:
+        reader.read_next_batch()
+    except StopIteration:
+        pass
+    consumed = stream.tell()
+    pos += consumed
+
+    ndarrays = []
+    for _ in range(num_tensors + num_ndarrays):
+        pos = _align(pos, 64)
+        tstream = pa.input_stream(pa.py_buffer(buf[pos:]))
+        tensor = pa.ipc.read_tensor(tstream)
+        ndarrays.append(tensor.to_numpy())
+        pos += tstream.tell()
+
+    buffers = []
+    for _ in range(num_buffers):
+        size, = struct.unpack_from("<q", buf, pos)
+        pos += 8
+        buffers.append(bytes(buf[pos:pos + size]))
+        pos += size
+
+    col = batch.column(0)
+    # the batch's single row is a 1-element sequence holding the root
+    # object (python_to_arrow wraps the object before serializing)
+    return _decode_union_list(col, ndarrays, buffers)[0][0]
+
+
+def _decode_union_list(list_array, ndarrays, buffers):
+    """Decode a list<union> array into a list of python objects."""
+    import pyarrow as pa
+
+    values = _decode_union(list_array.values, ndarrays, buffers)
+    out = []
+    offsets = list_array.offsets.to_pylist()
+    for i in range(len(list_array)):
+        out.append(values[offsets[i]:offsets[i + 1]])
+    return out
+
+
+def _decode_union(union_array, ndarrays, buffers):
+    """Decode a dense union array (the 0.14 python-object encoding) into a
+    flat list of python values, ordered by position."""
+    import pyarrow as pa
+
+    ua = union_array
+    utype = ua.type
+    type_codes = np.asarray(ua.type_codes)
+    offsets = np.asarray(ua.offsets)
+    n = len(ua)
+    out = [None] * n
+
+    for code_idx in range(utype.num_fields):
+        field = utype.field(code_idx)
+        type_code = utype.type_codes[code_idx] \
+            if hasattr(utype, "type_codes") else code_idx
+        mask = type_codes == type_code
+        if not mask.any():
+            continue
+        child = ua.field(code_idx)
+        decoded = _decode_child(field.name, child, ndarrays, buffers)
+        for i in np.nonzero(mask)[0]:
+            out[i] = decoded[offsets[i]]
+    return out
+
+
+def _decode_child(name, child, ndarrays, buffers):
+    """Decode one union child array by its 0.14 field name."""
+    import pyarrow as pa
+
+    if name in ("bools", "ints", "doubles", "floats", "py2_ints",
+                "date64s", "uints"):
+        return child.to_pylist()
+    if name in ("strings",):
+        return child.to_pylist()
+    if name in ("bytes",):
+        return [None if v is None else
+                (v if isinstance(v, bytes) else bytes(v))
+                for v in child.to_pylist()]
+    if name in ("half_floats",):
+        return [None if v is None else float(v) for v in child.to_pylist()]
+    if name in ("tensors", "ndarrays"):
+        return [ndarrays[i] for i in child.to_pylist()]
+    if name in ("buffers",):
+        return [buffers[i] for i in child.to_pylist()]
+    if name in ("lists",):
+        return _decode_union_list(child, ndarrays, buffers)
+    if name in ("tuples",):
+        return [tuple(v) for v in _decode_union_list(child, ndarrays,
+                                                     buffers)]
+    if name in ("sets",):
+        return [set(v) for v in _decode_union_list(child, ndarrays,
+                                                   buffers)]
+    if name in ("dicts",):
+        # struct<keys: list<union>, vals: list<union>>
+        keys_lists = _decode_union_list(child.field("keys"), ndarrays,
+                                        buffers)
+        vals_lists = _decode_union_list(child.field("vals"), ndarrays,
+                                        buffers)
+        return [dict(zip(k, v)) for k, v in zip(keys_lists, vals_lists)]
+    if name in ("nones", "none"):
+        return [None] * len(child)
+    raise NotImplementedError(
+        "legacy pyarrow union child %r not supported" % name)
+
+
+class LMDBRawStore:
+    """Raw TED clip store backed by the original LMDB database."""
+
+    def __init__(self, path):
+        self.path = path
+        self.reader = LMDBReader(path)
+
+    def __len__(self):
+        return self.reader.n_entries
+
+    def keys(self):
+        return [k for k, _ in self.reader.items()]
+
+    def get(self, key):
+        if isinstance(key, str):
+            key = key.encode("ascii")
+        for k, v in self.reader.items():
+            if k == key:
+                return legacy_arrow_deserialize(v)
+        raise KeyError(key)
+
+    def iter_videos(self):
+        for _, v in self.reader.items():
+            yield legacy_arrow_deserialize(v)
+
+    def close(self):
+        self.reader.close()
