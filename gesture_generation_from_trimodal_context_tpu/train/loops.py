@@ -122,14 +122,45 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
     eval_step = make_eval_step(bundle, args,
                                np.array(args.mean_dir_vec).squeeze())
 
+    # ---- optional true resume (beyond the reference, SURVEY.md §5: the
+    # reference always restarts from epoch 0 after a crash) ----
+    start_epoch = 0
+    resume_path = getattr(args, "resume_checkpoint", "") or ""
+    if resume_path:
+        from flax import serialization
+        ckpt = ckpt_lib.load_checkpoint(resume_path)
+        start_epoch = ckpt["epoch"] + 1
+        gen_tmpl = {"params": gen_state.params,
+                    "batch_stats": gen_state.batch_stats}
+        restored = serialization.from_bytes(gen_tmpl,
+                                            ckpt["gen_vars_bytes"])
+        gen_state = gen_state.replace(params=restored["params"],
+                                      batch_stats=restored["batch_stats"])
+        if ckpt["gen_opt_bytes"]:
+            gen_state = gen_state.replace(opt_state=serialization.from_bytes(
+                gen_state.opt_state, ckpt["gen_opt_bytes"]))
+        if dis_state is not None and ckpt["dis_vars_bytes"]:
+            dis_tmpl = {"params": dis_state.params,
+                        "batch_stats": dis_state.batch_stats}
+            restored_d = serialization.from_bytes(dis_tmpl,
+                                                  ckpt["dis_vars_bytes"])
+            dis_state = dis_state.replace(
+                params=restored_d["params"],
+                batch_stats=restored_d["batch_stats"])
+            if ckpt["dis_opt_bytes"]:
+                dis_state = dis_state.replace(
+                    opt_state=serialization.from_bytes(
+                        dis_state.opt_state, ckpt["dis_opt_bytes"]))
+        logging.info("resumed from %s at epoch %d", resume_path, start_epoch)
+
     with mesh:
         gen_state = mesh_lib.replicate(gen_state, mesh)
         if dis_state is not None:
             dis_state = mesh_lib.replicate(dis_state, mesh)
 
-        global_iter = 0
+        global_iter = start_epoch * len(train_loader)
         best_values = {}
-        for epoch in range(n_epochs):
+        for epoch in range(start_epoch, n_epochs):
             # ---- evaluate FIRST (reference train.py:114-116) ----
             def current_gen_vars():
                 return {"params": gen_state.params,
@@ -170,6 +201,10 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
                         {"params": dis_state.params,
                          "batch_stats": dis_state.batch_stats})
                         if dis_state is not None else None),
+                    # optimizer state enables true resume (beyond reference)
+                    "gen_opt": jax.device_get(gen_state.opt_state),
+                    "dis_opt": (jax.device_get(dis_state.opt_state)
+                                if dis_state is not None else None),
                 }, save_name)
 
             # ---- sample videos (reference train.py:160-163) ----

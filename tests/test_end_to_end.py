@@ -144,3 +144,33 @@ def test_evaluator_standalone(workdir, fgd_ckpt):
     ev.push_samples(None, None, real + 1e-6, real)
     fgd_same, _ = ev.get_scores()
     assert fgd_same < fgd
+
+
+def test_resume_training(workdir, fgd_ckpt):
+    """Resume (beyond-reference feature): restart from a checkpoint with
+    optimizer state and continue at the right epoch."""
+    args = cfg.parse_args([
+        "--config", _cfg("gesture_autoencoder.yml"),
+        "--model_save_path", str(workdir / "resume"),
+        "--batch_size", "8", "--random_seed", "3",
+        "--save_result_video", "false"])
+    train_ds, val_ds, lang = _make_loaders(workdir, args)
+    train_loader = BatchIterator(train_ds, 8, shuffle=True, prefetch=0)
+    test_loader = BatchIterator(val_ds, 8, shuffle=False, prefetch=0)
+
+    train_epochs(args, train_loader, test_loader, lang, pose_dim=27,
+                 speaker_model=train_ds.speaker_model, trial_epochs=1)
+    ckpt_path = str(workdir / "resume" /
+                    "gesture_autoencoder_checkpoint_best.bin")
+    assert os.path.exists(ckpt_path)
+    ckpt0 = ckpt_lib.load_checkpoint(ckpt_path)
+    assert ckpt0["epoch"] == 0
+    assert len(ckpt0["gen_opt_bytes"]) > 0
+
+    args.resume_checkpoint = ckpt_path
+    _, _, best = train_epochs(args, train_loader, test_loader, lang,
+                              pose_dim=27,
+                              speaker_model=train_ds.speaker_model,
+                              trial_epochs=2)
+    # epoch 0 was skipped; the loop ran epoch 1 only
+    assert all(ep == 1 for _, ep in best.values())
