@@ -217,8 +217,20 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
                     logging.warning("sample video failed: %s", e)
 
             # ---- train pass ----
+            # optional profiler capture (SURVEY.md §5 tracing: the
+            # reference has none; we expose jax.profiler traces)
+            profile_dir = os.environ.get("GG_PROFILE_DIR")
+            if profile_dir and epoch == start_epoch:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+            else:
+                profiling = False
+
             iter_start_time = time.time()
             for iter_idx, batch in enumerate(train_loader):
+                if profiling and iter_idx == 8:
+                    jax.profiler.stop_trace()
+                    profiling = False
                 global_iter += 1
                 batch_size = batch["target_vec"].shape[0]
                 vids = None
@@ -261,6 +273,9 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
                             meter.reset()
                     logging.info(summary)
                 iter_start_time = time.time()
+
+            if profiling:
+                jax.profiler.stop_trace()
 
     tb_writer.close()
     logging.info("--------- best loss values ---------")

@@ -174,3 +174,34 @@ def test_resume_training(workdir, fgd_ckpt):
                               trial_epochs=2)
     # epoch 0 was skipped; the loop ran epoch 1 only
     assert all(ep == 1 for _, ep in best.values())
+
+
+@pytest.mark.parametrize("model_cfg,overrides", [
+    ("seq2seq.yml", ["--hidden_size", "32", "--wordembed_dim", "16"]),
+    ("joint_embed.yml", ["--hidden_size", "24", "--n_layers", "2",
+                         "--wordembed_dim", "16"]),
+    ("speech2gesture.yml", []),
+])
+def test_baseline_models_train_one_epoch(workdir, model_cfg, overrides):
+    """Every baseline family runs one epoch end to end through the same
+    driver (reference train.py dispatches all five the same way)."""
+    name = model_cfg.split(".")[0]
+    args = cfg.parse_args([
+        "--config", _cfg(model_cfg),
+        "--model_save_path", str(workdir / name),
+        "--batch_size", "8", "--random_seed", "11",
+        "--eval_net_path", "",      # skip FGD for speed
+        "--wordembed_path", "",
+        "--save_result_video", "false"] + overrides)
+    train_ds, val_ds, lang = _make_loaders(workdir, args)
+    if args.wordembed_dim and lang.word_embedding_weights is not None and \
+            lang.word_embedding_weights.shape[1] != args.wordembed_dim:
+        lang.load_word_vectors("", args.wordembed_dim)
+    train_loader = BatchIterator(train_ds, 8, shuffle=True, prefetch=0)
+    test_loader = BatchIterator(val_ds, 8, shuffle=False, prefetch=0)
+
+    _, _, best = train_epochs(args, train_loader, test_loader, lang,
+                              pose_dim=27,
+                              speaker_model=train_ds.speaker_model,
+                              trial_epochs=1)
+    assert np.isfinite(best["loss"][0])
