@@ -54,6 +54,23 @@ class EmbeddingSpaceEvaluator:
         self.generated_feat_list.append(np.asarray(gen_feat))
         self.recon_err_diff.append(float(recon_fake) - float(recon_real))
 
+    def get_features_for_viz(self):
+        """2-D projection of real vs generated latents
+        (reference embedding_space_evaluator.py:63-72).  Uses UMAP when
+        importable, else a PCA fallback."""
+        generated_feats = np.vstack(self.generated_feat_list)
+        real_feats = np.vstack(self.real_feat_list)
+        both = np.vstack((generated_feats, real_feats))
+        try:
+            import umap
+            transformed = umap.UMAP().fit_transform(both)
+        except ImportError:
+            centered = both - both.mean(axis=0)
+            _, _, vt = np.linalg.svd(centered, full_matrices=False)
+            transformed = centered @ vt[:2].T
+        n = transformed.shape[0] // 2
+        return transformed[n:], transformed[:n]  # (real, generated)
+
     def get_scores(self):
         generated_feats = np.vstack(self.generated_feat_list)
         real_feats = np.vstack(self.real_feat_list)
