@@ -56,10 +56,8 @@ def make_gan_train_step(bundle, args):
         rngs = split_rngs(rng, ("dropout",))
         return apply_net(dis, params, bstats, poses, train=True, rngs=rngs)
 
-    @partial(jax.jit, static_argnames=("train_d", "add_gan"),
-             donate_argnames=("gen_state", "dis_state"))
-    def step(gen_state: NetState, dis_state: NetState, batch, rng,
-             train_d: bool, add_gan: bool):
+    def step_body(gen_state: NetState, dis_state: NetState, batch, rng,
+                  train_d: bool, add_gan: bool):
         in_text = batch["in_text"]
         in_audio = batch["in_audio"]
         target = batch["target_vec"]
@@ -144,4 +142,38 @@ def make_gan_train_step(bundle, args):
         metrics.update(g_metrics)
         return gen_state, dis_state, metrics
 
+    step = jax.jit(step_body, static_argnames=("train_d", "add_gan"),
+                   donate_argnames=("gen_state", "dis_state"))
+    step.body = step_body
     return step, gen_tx, dis_tx
+
+
+def make_gan_multi_step(bundle, args, n_steps):
+    """Fuse n_steps training iterations into ONE compiled program via
+    lax.scan over stacked microbatches (leading axis n_steps).
+
+    One host<->device roundtrip then amortizes over n_steps iterations —
+    essential when dispatch/transfer latency dominates tiny step times
+    (very fast chips, or remote-tunneled devices).  Semantically identical
+    to calling the single step n_steps times with rng = fold_in(rng, k).
+    """
+    step, gen_tx, dis_tx = make_gan_train_step(bundle, args)
+    body = step.body
+
+    @partial(jax.jit, static_argnames=("train_d", "add_gan"),
+             donate_argnames=("gen_state", "dis_state"))
+    def multi_step(gen_state, dis_state, batches, rng, train_d, add_gan):
+        def scan_body(carry, xs):
+            g, d = carry
+            batch_k, k = xs
+            g, d, m = body(g, d, batch_k, jax.random.fold_in(rng, k),
+                           train_d, add_gan)
+            return (g, d), m
+
+        ks = jnp.arange(n_steps)
+        (gen_state, dis_state), metrics = jax.lax.scan(
+            scan_body, (gen_state, dis_state),
+            (batches, ks))
+        return gen_state, dis_state, metrics  # metrics stacked (n_steps,)
+
+    return multi_step, gen_tx, dis_tx

@@ -101,8 +101,14 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
     # train/eval steps + states
     model = args.model
     dis_state = None
+    steps_per_call = max(1, getattr(args, "steps_per_call", 1))
+    multi_step_fn = None
     if model == "multimodal_context":
         step_fn, gen_tx, dis_tx = make_gan_train_step(bundle, args)
+        if steps_per_call > 1:
+            from .gan import make_gan_multi_step
+            multi_step_fn, _, _ = make_gan_multi_step(bundle, args,
+                                                      steps_per_call)
         gen_state = make_net_state(gvars, gen_tx)
         dis_state = make_net_state(dvars, dis_tx)
     elif model in ("joint_embedding", "gesture_autoencoder"):
@@ -226,54 +232,116 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
             else:
                 profiling = False
 
-            iter_start_time = time.time()
-            for iter_idx, batch in enumerate(train_loader):
-                if profiling and iter_idx == 8:
-                    jax.profiler.stop_trace()
-                    profiling = False
-                global_iter += 1
-                batch_size = batch["target_vec"].shape[0]
-                vids = None
+            # device-side metric buffer: metrics stay on device between
+            # print intervals so the train loop never blocks on a host
+            # sync (the reference syncs every iteration via .item())
+            pending = []
+
+            def flush_pending():
+                for it, bs, ld in jax.device_get(pending):
+                    first = next(iter(ld.values()))
+                    n_sub = len(first) if np.ndim(first) > 0 else 1
+                    for k in range(n_sub):
+                        for meter in loss_meters:
+                            if meter.name in ld:
+                                v = ld[meter.name]
+                                meter.update(
+                                    float(v[k] if np.ndim(v) else v), bs)
+                        for key, value in ld.items():
+                            tb_writer.add_scalar(
+                                key + "/train",
+                                float(value[k] if np.ndim(value) else value),
+                                it - n_sub + 1 + k)
+                pending.clear()
+
+            def add_vids(batch):
                 if speaker_model and isinstance(speaker_model, Vocab):
                     vids = np.asarray(
                         [speaker_model.word2index[v]
                          for v in batch["aux_vids"]], np.int32)
-                    batch = dict(batch, vid_indices=vids)
-                dbatch = _device_batch(batch, mesh)
-                rng = jax.random.fold_in(root_rng, global_iter)
+                    return dict(batch, vid_indices=vids)
+                return batch
 
-                if model == "multimodal_context":
-                    train_d = (epoch > args.loss_warmup
-                               and args.loss_gan_weight > 0.0)
-                    add_gan = epoch > args.loss_warmup
-                    gen_state, dis_state, loss_dict = step_fn(
-                        gen_state, dis_state, dbatch, rng,
+            def grouped_batches():
+                """Yield lists of host batches: steps_per_call-sized groups
+                for the fused multi-step path, singletons otherwise."""
+                group = []
+                for b in train_loader:
+                    if multi_step_fn is None:
+                        yield [b]
+                        continue
+                    group.append(b)
+                    if len(group) == steps_per_call:
+                        yield group
+                        group = []
+                if group:
+                    for b in group:  # remainder runs as single steps
+                        yield [b]
+
+            iter_start_time = time.time()
+            interval_start_time = time.time()
+            iter_idx = -1
+            for group in grouped_batches():
+                iter_idx += len(group)
+                if profiling and iter_idx >= 8:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                batch_size = group[0]["target_vec"].shape[0]
+                train_d = (epoch > args.loss_warmup
+                           and args.loss_gan_weight > 0.0) \
+                    if model == "multimodal_context" else False
+                add_gan = epoch > args.loss_warmup
+
+                if multi_step_fn is not None and len(group) == steps_per_call:
+                    # fused path: one compiled program runs the whole group
+                    batches = [add_vids(b) for b in group]
+                    keys = [k for k in batches[0]
+                            if isinstance(batches[0][k], np.ndarray)
+                            and batches[0][k].dtype != object
+                            and not k.startswith("aux_")]
+                    stacked = {k: np.stack([b[k] for b in batches])
+                               for k in keys}
+                    rng = jax.random.fold_in(root_rng, global_iter + 1)
+                    global_iter += len(group)
+                    gen_state, dis_state, loss_dict = multi_step_fn(
+                        gen_state, dis_state, stacked, rng,
                         train_d=train_d, add_gan=add_gan)
-                elif model == "speech2gesture":
-                    gen_state, dis_state, loss_dict = step_fn(
-                        gen_state, dis_state, dbatch, rng)
+                    pending.append((global_iter, batch_size, loss_dict))
                 else:
-                    gen_state, loss_dict = step_fn(gen_state, dbatch, rng)
-
-                for meter in loss_meters:
-                    if meter.name in loss_dict:
-                        meter.update(float(loss_dict[meter.name]), batch_size)
-                for key, value in loss_dict.items():
-                    tb_writer.add_scalar(key + "/train", float(value),
-                                         global_iter)
+                    for batch in group:
+                        global_iter += 1
+                        batch = add_vids(batch)
+                        dbatch = _device_batch(batch, mesh)
+                        rng = jax.random.fold_in(root_rng, global_iter)
+                        if model == "multimodal_context":
+                            gen_state, dis_state, loss_dict = step_fn(
+                                gen_state, dis_state, dbatch, rng,
+                                train_d=train_d, add_gan=add_gan)
+                        elif model == "speech2gesture":
+                            gen_state, dis_state, loss_dict = step_fn(
+                                gen_state, dis_state, dbatch, rng)
+                        else:
+                            gen_state, loss_dict = step_fn(gen_state, dbatch,
+                                                           rng)
+                        pending.append((global_iter, batch_size, loss_dict))
 
                 if (iter_idx + 1) % print_interval == 0:
+                    n_iters = len(pending)
+                    flush_pending()  # one host sync per interval
                     summary = "EP {} ({:3d}) | {:>8s}, {:.0f} samples/s | ".format(
                         epoch, iter_idx + 1, time_since(start),
-                        batch_size / max(1e-6, time.time() - iter_start_time))
+                        batch_size * n_iters
+                        / max(1e-6, time.time() - interval_start_time))
                     for meter in loss_meters:
                         if meter.count > 0:
                             summary += "{}: {:.3f}, ".format(meter.name,
                                                              meter.avg)
                             meter.reset()
                     logging.info(summary)
+                    interval_start_time = time.time()
                 iter_start_time = time.time()
 
+            flush_pending()
             if profiling:
                 jax.profiler.stop_trace()
 

@@ -205,3 +205,27 @@ def test_baseline_models_train_one_epoch(workdir, model_cfg, overrides):
                               speaker_model=train_ds.speaker_model,
                               trial_epochs=1)
     assert np.isfinite(best["loss"][0])
+
+
+def test_multimodal_fused_steps_per_call(workdir, fgd_ckpt):
+    """steps_per_call>1 runs the fused multi-step path through the driver."""
+    args = cfg.parse_args([
+        "--config", _cfg("multimodal_context.yml"),
+        "--model_save_path", str(workdir / "mmc_fused"),
+        "--batch_size", "8", "--random_seed", "7",
+        "--hidden_size", "32", "--n_layers", "2",
+        "--wordembed_dim", "16", "--wordembed_path", "",
+        "--eval_net_path", "", "--loss_warmup", "0",
+        "--steps_per_call", "2",
+        "--save_result_video", "false"])
+    train_ds, val_ds, lang = _make_loaders(workdir, args)
+    if lang.word_embedding_weights is not None and \
+            lang.word_embedding_weights.shape[1] != args.wordembed_dim:
+        lang.load_word_vectors("", args.wordembed_dim)
+    train_loader = BatchIterator(train_ds, 8, shuffle=True, prefetch=0)
+    test_loader = BatchIterator(val_ds, 8, shuffle=False, prefetch=0)
+    _, _, best = train_epochs(args, train_loader, test_loader, lang,
+                              pose_dim=27,
+                              speaker_model=train_ds.speaker_model,
+                              trial_epochs=1)
+    assert np.isfinite(best["loss"][0])
