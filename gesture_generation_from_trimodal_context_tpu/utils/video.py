@@ -90,13 +90,17 @@ def create_video_and_save(save_path, epoch, prefix, iter_idx, target, output,
                                                   iter_idx)
         save_wav(audio_path, audio)
 
-    video_path = "{}/temp_{}_{:03d}_{}.mp4".format(save_path, prefix, epoch,
-                                                   iter_idx)
+    # mp4 via ffmpeg when available (reference behavior); animated GIF via
+    # Pillow otherwise so artifact generation works on minimal machines
+    have_ffmpeg = animation.writers.is_available("ffmpeg")
+    ext = "mp4" if have_ffmpeg else "gif"
+    video_path = "{}/temp_{}_{:03d}_{}.{}".format(save_path, prefix, epoch,
+                                                  iter_idx, ext)
     ani.save(video_path, fps=15, dpi=80)
     del ani
     plt.close(fig)
 
-    if audio is not None and shutil.which("ffmpeg"):
+    if audio is not None and have_ffmpeg and shutil.which("ffmpeg"):
         merged = "{}/{}_{:03d}_{}.mp4".format(save_path, prefix, epoch,
                                               iter_idx)
         cmd = ["ffmpeg", "-loglevel", "panic", "-y", "-i", video_path,
@@ -108,7 +112,10 @@ def create_video_and_save(save_path, epoch, prefix, iter_idx, target, output,
             os.remove(audio_path)
         os.remove(video_path)
     elif audio is not None:
-        logging.info("ffmpeg not found; keeping silent video %s", video_path)
+        final = "{}/{}_{:03d}_{}.{}".format(save_path, prefix, epoch,
+                                            iter_idx, ext)
+        os.replace(video_path, final)
+        logging.info("ffmpeg not found; wrote silent %s + wav", final)
 
     logging.info("done, took %.1f seconds", time.time() - start)
     return output_poses, target_poses
