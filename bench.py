@@ -14,9 +14,12 @@ gesture frames/s on the reference GPU.  vs_baseline = ours / 17700.
 """
 
 import json
+import os
 import sys
 import time
 from types import SimpleNamespace
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
