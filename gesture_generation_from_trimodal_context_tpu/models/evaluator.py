@@ -92,6 +92,18 @@ class EmbeddingSpaceEvaluator:
         return frechet_dist, feat_dist
 
 
+def _sqrtm(mat):
+    """Matrix square root tolerant of scipy's disp-argument removal."""
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        try:
+            result = linalg.sqrtm(mat, disp=False)
+        except TypeError:  # scipy >= 1.18 dropped disp
+            result = linalg.sqrtm(mat)
+    return result[0] if isinstance(result, tuple) else result
+
+
 def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
     """d^2 = ||mu1 - mu2||^2 + Tr(C1 + C2 - 2 sqrt(C1 C2)) — the stable
     pytorch-fid formulation used by the reference
@@ -102,12 +114,12 @@ def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
     assert sigma1.shape == sigma2.shape
 
     diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    covmean = _sqrtm(sigma1.dot(sigma2))
     if not np.isfinite(covmean).all():
         logging.warning("fid calculation produces singular product; "
                         "adding %s to diagonal of cov estimates", eps)
         offset = np.eye(sigma1.shape[0]) * eps
-        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+        covmean = _sqrtm((sigma1 + offset).dot(sigma2 + offset))
 
     if np.iscomplexobj(covmean):
         if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):

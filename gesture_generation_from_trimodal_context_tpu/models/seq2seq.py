@@ -18,15 +18,13 @@ Behavioral contract: reference scripts/model/seq2seq_net.py:14-254.
   n_pre_poses frames and BatchNorm statistics carried across steps.
 """
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.init import normal_init
 from ..ops.layers import BatchNorm, TorchDense
-from ..ops.recurrent import GRU, GRUCell, gru_scan
+from ..ops.recurrent import GRUCell
 from ..ops.init import uniform_init
 
 

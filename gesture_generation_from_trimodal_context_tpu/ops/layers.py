@@ -11,7 +11,7 @@ Notes on fidelity:
   per output channel, v initialized N(0, 0.01), g initialized to ||v||.
 """
 
-from typing import Any, Callable, Sequence, Union
+from typing import Any, Sequence, Union
 
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..data.vocab import Vocab
 from ..ops import audio as audio_ops
 
 

@@ -27,7 +27,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from .common import apply_net, build_pre_seq, smooth_l1, smooth_l1_none, split_rngs
 from .state import NetState, adam, apply_grads
