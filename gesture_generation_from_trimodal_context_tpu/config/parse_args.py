@@ -96,10 +96,8 @@ def _tpu_options():
     add(_Opt("resume_checkpoint", str, ""))    # orbax/msgpack resume path ('' = fresh start, like the reference)
     add(_Opt("dp_devices", int, -1))           # data-parallel mesh size; -1 = all local devices
     add(_Opt("use_pallas", str2bool, False))   # Pallas-fused GRU kernels on TPU
-    add(_Opt("compute_dtype", str, "float32"))  # 'float32' | 'bfloat16' for activations
     add(_Opt("prefetch_batches", int, 2))      # host->device prefetch depth
     add(_Opt("steps_per_call", int, 1))        # train steps fused per jit call (lax.scan over microbatches)
-    add(_Opt("data_format", str, "auto"))      # 'auto' | 'ggpack' | 'lmdb'
     add(_Opt("deterministic_tb_dir", str2bool, False))  # stable tensorboard dir name (tests)
     return o
 
