@@ -1,0 +1,133 @@
+"""Synthesis server: persistent-model gesture generation over HTTP.
+
+Serving counterpart to the batch CLI (beyond the reference, which only
+ships offline scripts — SURVEY.md §1.7).  The model is loaded and the
+per-window function compiled once at startup; requests then run at
+steady-state latency.
+
+Endpoints (JSON over stdlib http.server, no extra deps):
+- GET  /healthz            -> {"status": "ok", "model": ..., "pose_dim": N}
+- POST /synthesize         body {"audio": [float...] (16 kHz) OR
+                                 "audio_b64": base64 float32 LE,
+                                 "words": [[word, start_s, end_s], ...],
+                                 "vid": optional int,
+                                 "seed_seq": optional [[...pose_dim]x4]}
+  -> {"out_dir_vec": [[...]], "out_poses": [[[x,y,z]x10]], "frames": N,
+      "latency_ms": ...}
+"""
+
+import base64
+import json
+import logging
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+import jax
+
+from ..ops import skeleton
+from ..train import checkpoint as ckpt_lib
+from .engine import generate_gestures
+
+
+class SynthesisService:
+    """Holds the loaded model; thread-safe generate()."""
+
+    def __init__(self, checkpoint_path):
+        (self.args, self.bundle, self.gen_vars, self.lang_model,
+         self.speaker_model, self.pose_dim) = \
+            ckpt_lib.load_checkpoint_and_model(checkpoint_path,
+                                               jax.random.PRNGKey(0))
+        self.mean_dir_vec = np.array(self.args.mean_dir_vec).squeeze()
+        self._lock = threading.Lock()
+        self._warm = False
+
+    def warmup(self):
+        """Compile the window step once so first requests are fast."""
+        audio = np.zeros(16000, np.float32)
+        self.generate(audio, [["hello", 0.1, 0.4]], vid=0)
+        self._warm = True
+
+    def generate(self, audio, words, vid=None, seed_seq=None):
+        with self._lock:  # jitted fns are thread-safe, state donation is not
+            t0 = time.time()
+            dir_vec = generate_gestures(
+                self.args, self.bundle, self.gen_vars, self.lang_model,
+                np.asarray(audio, np.float32), words, vid=vid,
+                seed_seq=seed_seq, rng=jax.random.PRNGKey(int(t0 * 1e3) % (2**31)))
+            latency = (time.time() - t0) * 1000.0
+        out = dir_vec + self.mean_dir_vec
+        poses = skeleton.convert_dir_vec_to_pose_np(out)
+        return dir_vec, poses, latency
+
+
+def make_handler(service: SynthesisService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            logging.info("http: " + fmt, *args)
+
+        def _json(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok",
+                                 "model": service.bundle.model_name,
+                                 "pose_dim": service.pose_dim,
+                                 "warm": service._warm})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/synthesize":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length))
+                if "audio_b64" in req:
+                    audio = np.frombuffer(
+                        base64.b64decode(req["audio_b64"]), np.float32)
+                else:
+                    audio = np.asarray(req["audio"], np.float32)
+                words = [[w[0], float(w[1]), float(w[2])]
+                         for w in req.get("words", [])]
+                seed = (np.asarray(req["seed_seq"], np.float32)
+                        if "seed_seq" in req else None)
+                dir_vec, poses, latency = service.generate(
+                    audio, words, vid=req.get("vid"), seed_seq=seed)
+                self._json(200, {
+                    "out_dir_vec": dir_vec.tolist(),
+                    "out_poses": poses.tolist(),
+                    "frames": int(dir_vec.shape[0]),
+                    "latency_ms": round(latency, 2),
+                })
+            except Exception as e:  # report, don't crash the server
+                logging.exception("synthesize failed")
+                self._json(500, {"error": str(e)})
+
+    return Handler
+
+
+def serve(checkpoint_path, host="127.0.0.1", port=8765, warmup=True):
+    service = SynthesisService(checkpoint_path)
+    if warmup:
+        logging.info("warming up (compiling the window step)...")
+        service.warmup()
+    server = ThreadingHTTPServer((host, port), make_handler(service))
+    logging.info("serving %s on http://%s:%d", checkpoint_path, host, port)
+    return server
+
+
+def main(argv):
+    import sys
+    ckpt = argv[1]
+    port = int(argv[2]) if len(argv) > 2 else 8765
+    server = serve(ckpt, port=port)
+    server.serve_forever()

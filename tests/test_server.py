@@ -1,0 +1,70 @@
+"""Synthesis HTTP server test: boot with a tiny checkpoint, synthesize."""
+
+import json
+import threading
+import http.client
+
+import numpy as np
+import pytest
+import jax
+
+from gesture_generation_from_trimodal_context_tpu.config import (
+    parse_args_mod as cfg)
+from gesture_generation_from_trimodal_context_tpu.models import factory
+from gesture_generation_from_trimodal_context_tpu.train import checkpoint as ckpt_lib
+from gesture_generation_from_trimodal_context_tpu.synthesis import server as srv
+from tests.test_synthesis import _cfg, tiny_speakers, tiny_vocab
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    args = cfg.parse_args([
+        "--config", _cfg("multimodal_context.yml"),
+        "--model_save_path", "unused", "--hidden_size", "32",
+        "--n_layers", "2", "--wordembed_dim", "16"])
+    lang, spk = tiny_vocab(), tiny_speakers()
+    bundle = factory.init_model(args, lang, spk, 27)
+    gvars = factory.generator_init_variables(bundle, args,
+                                             jax.random.PRNGKey(0), 1)
+    path = tmp_path_factory.mktemp("srv") / "ckpt.bin"
+    ckpt_lib.save_checkpoint({
+        "args": args, "epoch": 0, "lang_model": lang, "speaker_model": spk,
+        "pose_dim": 27, "gen_vars": jax.device_get(gvars), "dis_vars": None,
+    }, str(path))
+    return str(path)
+
+
+def test_server_roundtrip(tiny_ckpt):
+    server = srv.serve(tiny_ckpt, port=0, warmup=True)  # ephemeral port
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["status"] == "ok"
+        assert health["model"] == "multimodal_context"
+        assert health["warm"] is True
+
+        audio = np.zeros(16000, np.float32).tolist()
+        body = json.dumps({"audio": audio,
+                           "words": [["w1", 0.1, 0.3], ["w2", 0.5, 0.8]],
+                           "vid": 1})
+        conn.request("POST", "/synthesize", body=body,
+                     headers={"Content-Type": "application/json"})
+        resp = json.loads(conn.getresponse().read())
+        assert resp["frames"] == 34  # 1 s clip -> single window
+        out = np.asarray(resp["out_dir_vec"])
+        assert out.shape == (34, 27)
+        assert np.isfinite(out).all()
+        assert np.asarray(resp["out_poses"]).shape == (34, 10, 3)
+        assert resp["latency_ms"] > 0
+
+        # error path stays alive
+        conn.request("POST", "/synthesize", body="not json")
+        assert conn.getresponse().status == 500
+        conn.request("GET", "/healthz")
+        assert json.loads(conn.getresponse().read())["status"] == "ok"
+    finally:
+        server.shutdown()
