@@ -108,19 +108,34 @@ class GRU(nn.Module):
         h_finals = []
         for layer in range(self.num_layers):
             in_size = layer_in.shape[-1]
-            outs = []
+            dir_params = []
             for d in range(num_dir):
                 sfx = "l{}{}".format(layer, "_reverse" if d else "")
-                wi = self.param("weight_ih_" + sfx, bound_init, (3 * h, in_size))
-                wh = self.param("weight_hh_" + sfx, bound_init, (3 * h, h))
-                bi = self.param("bias_ih_" + sfx, bound_init, (3 * h,))
-                bh = self.param("bias_hh_" + sfx, bound_init, (3 * h,))
-                out, h_fin = run_gru_direction(wi, bi, wh, bh, layer_in,
-                                               h0[layer * num_dir + d],
-                                               reverse=bool(d))
-                outs.append(out)
-                h_finals.append(h_fin)
-            layer_in = outs[0] if num_dir == 1 else jnp.concatenate(outs, -1)
+                dir_params.append(tuple(
+                    self.param(name + sfx, bound_init, shape)
+                    for name, shape in (
+                        ("weight_ih_", (3 * h, in_size)),
+                        ("bias_ih_", (3 * h,)),
+                        ("weight_hh_", (3 * h, h)),
+                        ("bias_hh_", (3 * h,)))))
+            if num_dir == 2 and _GRU_IMPL == "pallas":
+                # both directions in ONE fused kernel launch
+                from .pallas_gru import pallas_bigru
+                layer_in, (ht_f, ht_b) = pallas_bigru(
+                    dir_params[0], dir_params[1], layer_in,
+                    h0[layer * 2], h0[layer * 2 + 1])
+                h_finals.extend([ht_f, ht_b])
+            else:
+                outs = []
+                for d in range(num_dir):
+                    wi, bi, wh, bh = dir_params[d]
+                    out, h_fin = run_gru_direction(
+                        wi, bi, wh, bh, layer_in, h0[layer * num_dir + d],
+                        reverse=bool(d))
+                    outs.append(out)
+                    h_finals.append(h_fin)
+                layer_in = outs[0] if num_dir == 1 else \
+                    jnp.concatenate(outs, -1)
             if self.dropout > 0 and layer < self.num_layers - 1:
                 layer_in = nn.Dropout(rate=self.dropout)(
                     layer_in, deterministic=deterministic)
