@@ -7,8 +7,13 @@ Design (SURVEY.md §5 'distributed communication backend'):
 - gradients are all-reduced implicitly by XLA over ICI when the jitted
   train step consumes sharded batches and produces replicated params —
   no hand-written collectives needed at this model scale,
-- BatchNorm statistics are computed per shard (matching DataParallel's
-  unsynced-BN semantics — the faithful choice, documented in SURVEY.md §5).
+- BatchNorm statistics are computed over the GLOBAL batch (the sharded
+  batch is one logical array, so XLA inserts the cross-device reductions
+  for the batch mean/var).  This is cross-replica synced BN — a
+  deliberate deviation from DataParallel's per-GPU statistics
+  (SURVEY.md §5 asks to document the choice): results are then
+  independent of the device count, and single-device runs match the
+  reference exactly.
 
 The same helpers drive the multi-chip dry-run (``__graft_entry__.py``)
 with virtual CPU devices.
