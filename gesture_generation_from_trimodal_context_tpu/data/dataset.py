@@ -35,7 +35,8 @@ CACHE_SUFFIX = "_ggpack_cache"
 class SpeechMotionDataset:
     def __init__(self, data_dir, n_poses, subdivision_stride,
                  pose_resampling_fps, mean_pose, mean_dir_vec,
-                 speaker_model=None, remove_word_timing=False):
+                 speaker_model=None, remove_word_timing=False,
+                 cache_workers=0):
         self.data_dir = data_dir
         self.n_poses = n_poses
         self.subdivision_stride = subdivision_stride
@@ -61,7 +62,7 @@ class SpeechMotionDataset:
             n_poses_extended = int(round(n_poses * 1.25))  # margin
             DataPreprocessor(data_dir, cache_dir, n_poses_extended,
                              subdivision_stride, pose_resampling_fps,
-                             mean_pose, mdv).run()
+                             mean_pose, mdv).run(n_workers=cache_workers)
         else:
             logging.info("Found the cache %s", cache_dir)
 

@@ -11,7 +11,9 @@ convert to mean-centered unit direction vectors, and store.
 
 import logging
 import math
+import os
 from collections import defaultdict
+from concurrent.futures import ProcessPoolExecutor
 
 import numpy as np
 
@@ -62,18 +64,31 @@ class DataPreprocessor:
             self.n_poses / self.skeleton_resampling_fps * audio_ops.SR)
         self.n_out_samples = 0
 
-    def run(self):
+    def run(self, n_workers=0):
+        """Build the cache.  n_workers > 1 fans the per-clip CPU work
+        (resampling, filtering, dir-vec conversion) out to worker
+        processes while this process streams records in and writes the
+        cache out (the reference does this single-threaded; our
+        loader_workers config drives it here instead)."""
         n_filtered_out = defaultdict(int)
         with GGPackWriter(self.out_dir, meta={
                 "n_poses": self.n_poses,
                 "subdivision_stride": self.subdivision_stride,
                 "fps": self.skeleton_resampling_fps}) as writer:
             self.writer = writer
-            for video in self.src.iter_videos():
-                vid = video["vid"]
-                for clip in video["clips"]:
-                    for key, n in self._sample_from_clip(vid, clip).items():
-                        n_filtered_out[key] += n
+            if n_workers and n_workers > 1:
+                self._run_parallel(writer, n_filtered_out, n_workers)
+            else:
+                for video in self.src.iter_videos():
+                    vid = video["vid"]
+                    for clip in video["clips"]:
+                        samples, counts = self._samples_from_clip(vid, clip)
+                        for s in samples:
+                            writer.add_sample(*s)
+                        for key, n in counts.items():
+                            n_filtered_out[key] += n
+
+            self.n_out_samples = writer.n_samples
 
         n_total_filtered = sum(n_filtered_out.values())
         logging.info("no. of samples: %d", self.n_out_samples)
@@ -87,90 +102,135 @@ class DataPreprocessor:
         self.src.close()
         return self.n_out_samples
 
-    def _sample_from_clip(self, vid, clip):
-        clip_skeleton = clip["skeletons_3d"]
-        clip_audio = clip["audio_feat"]          # mel spectrogram (M, L)
-        clip_audio_raw = clip["audio_raw"]
-        clip_word_list = clip["words"]
-        clip_s_f = clip["start_frame_no"]
-        clip_s_t, clip_e_t = clip["start_time"], clip["end_time"]
+    def _config(self):
+        return (self.n_poses, self.subdivision_stride,
+                self.skeleton_resampling_fps, self.mean_pose,
+                self.mean_dir_vec, self.disable_filtering)
 
-        n_filtered_out = defaultdict(int)
+    def _run_parallel(self, writer, n_filtered_out, n_workers):
+        config = self._config()
+        max_inflight = 2 * n_workers
+        with ProcessPoolExecutor(max_workers=n_workers) as pool:
+            inflight = []
 
-        clip_skeleton = skeleton.resample_pose_seq(
-            np.asarray(clip_skeleton), clip_e_t - clip_s_t,
-            self.skeleton_resampling_fps)
+            def drain(block_until=0):
+                while len(inflight) > block_until:
+                    samples, counts = inflight.pop(0).result()
+                    for s in samples:
+                        writer.add_sample(*s)
+                    for key, n in counts.items():
+                        n_filtered_out[key] += n
 
-        num_subdivision = math.floor(
-            (len(clip_skeleton) - self.n_poses) / self.subdivision_stride) + 1
-        expected_audio_length = \
-            audio_ops.calc_spectrogram_length_from_motion_length(
-                len(clip_skeleton), self.skeleton_resampling_fps)
-        if abs(expected_audio_length - clip_audio.shape[1]) > 5:
-            raise ValueError("audio and skeleton lengths are different "
-                             "(expected %d, got %d)" % (
-                                 expected_audio_length, clip_audio.shape[1]))
+            for video in self.src.iter_videos():
+                inflight.append(pool.submit(_process_video, config, video))
+                drain(block_until=max_inflight)
+            drain()
 
-        for i in range(num_subdivision):
-            start_idx = i * self.subdivision_stride
-            fin_idx = start_idx + self.n_poses
+    def _samples_from_clip(self, vid, clip):
+        return _samples_from_clip(self._config(), vid, clip)
 
-            sample_skeletons = clip_skeleton[start_idx:fin_idx]
-            subdivision_start_time = clip_s_t + \
-                start_idx / self.skeleton_resampling_fps
-            subdivision_end_time = clip_s_t + \
-                fin_idx / self.skeleton_resampling_fps
-            sample_words = get_words_in_time_range(
-                clip_word_list, subdivision_start_time, subdivision_end_time)
-            if len(sample_words) < 2:
-                continue
 
-            # spectrogram slice, proportional start + symmetric end pad
-            audio_start = math.floor(
-                start_idx / len(clip_skeleton) * clip_audio.shape[1])
-            audio_end = audio_start + self.spectrogram_sample_length
-            if audio_end > clip_audio.shape[1]:
-                padded = np.pad(
-                    clip_audio,
-                    ((0, 0), (0, audio_end - clip_audio.shape[1])),
-                    mode="symmetric")
-                sample_spectrogram = padded[:, audio_start:audio_end]
-            else:
-                sample_spectrogram = clip_audio[:, audio_start:audio_end]
+def _process_video(config, video):
+    """Worker: all samples + filter counts for one video record."""
+    vid = video["vid"]
+    samples = []
+    counts = defaultdict(int)
+    for clip in video["clips"]:
+        s, c = _samples_from_clip(config, vid, clip)
+        samples.extend(s)
+        for key, n in c.items():
+            counts[key] += n
+    return samples, dict(counts)
 
-            # raw audio slice
-            audio_start = math.floor(
-                start_idx / len(clip_skeleton) * len(clip_audio_raw))
-            audio_end = audio_start + self.audio_sample_length
-            if audio_end > len(clip_audio_raw):
-                padded = np.pad(clip_audio_raw,
-                                (0, audio_end - len(clip_audio_raw)),
-                                mode="symmetric")
-                sample_audio = padded[audio_start:audio_end]
-            else:
-                sample_audio = clip_audio_raw[audio_start:audio_end]
 
-            filtered, message = MotionFilter(
-                sample_skeletons, self.mean_pose).get()
-            is_correct = filtered != []
-            if not is_correct and not self.disable_filtering:
-                n_filtered_out[message] += 1
-                continue
-            if not is_correct:
-                filtered = sample_skeletons  # disable_filtering keeps all
+def _samples_from_clip(config, vid, clip):
+    """Pure per-clip windowing/filtering (reference
+    data_preprocessor.py:69-167).  Returns ([(words, poses, vec, audio,
+    spectrogram, aux), ...], filter_counts)."""
+    (n_poses, subdivision_stride, fps, mean_pose, mean_dir_vec,
+     disable_filtering) = config
+    spectrogram_sample_length = \
+        audio_ops.calc_spectrogram_length_from_motion_length(n_poses, fps)
+    audio_sample_length = int(n_poses / fps * audio_ops.SR)
 
-            poses = np.asarray(filtered)
-            dir_vec = skeleton.convert_pose_seq_to_dir_vec_np(poses)
-            normalized = normalize_dir_vec(dir_vec, self.mean_dir_vec)
+    clip_skeleton = clip["skeletons_3d"]
+    clip_audio = clip["audio_feat"]          # mel spectrogram (M, L)
+    clip_audio_raw = clip["audio_raw"]
+    clip_word_list = clip["words"]
+    clip_s_f = clip["start_frame_no"]
+    clip_s_t, clip_e_t = clip["start_time"], clip["end_time"]
 
-            self.writer.add_sample(
-                sample_words, poses, normalized, sample_audio,
-                sample_spectrogram,
-                {"vid": vid,
-                 "start_frame_no": clip_s_f + start_idx,
-                 "end_frame_no": clip_s_f + fin_idx,
-                 "start_time": subdivision_start_time,
-                 "end_time": subdivision_end_time})
-            self.n_out_samples += 1
+    n_filtered_out = defaultdict(int)
+    samples = []
 
-        return n_filtered_out
+    clip_skeleton = skeleton.resample_pose_seq(
+        np.asarray(clip_skeleton), clip_e_t - clip_s_t, fps)
+
+    num_subdivision = math.floor(
+        (len(clip_skeleton) - n_poses) / subdivision_stride) + 1
+    expected_audio_length = \
+        audio_ops.calc_spectrogram_length_from_motion_length(
+            len(clip_skeleton), fps)
+    if abs(expected_audio_length - clip_audio.shape[1]) > 5:
+        raise ValueError("audio and skeleton lengths are different "
+                         "(expected %d, got %d)" % (
+                             expected_audio_length, clip_audio.shape[1]))
+
+    for i in range(num_subdivision):
+        start_idx = i * subdivision_stride
+        fin_idx = start_idx + n_poses
+
+        sample_skeletons = clip_skeleton[start_idx:fin_idx]
+        subdivision_start_time = clip_s_t + start_idx / fps
+        subdivision_end_time = clip_s_t + fin_idx / fps
+        sample_words = get_words_in_time_range(
+            clip_word_list, subdivision_start_time, subdivision_end_time)
+        if len(sample_words) < 2:
+            continue
+
+        # spectrogram slice, proportional start + symmetric end pad
+        audio_start = math.floor(
+            start_idx / len(clip_skeleton) * clip_audio.shape[1])
+        audio_end = audio_start + spectrogram_sample_length
+        if audio_end > clip_audio.shape[1]:
+            padded = np.pad(
+                clip_audio, ((0, 0), (0, audio_end - clip_audio.shape[1])),
+                mode="symmetric")
+            sample_spectrogram = padded[:, audio_start:audio_end]
+        else:
+            sample_spectrogram = clip_audio[:, audio_start:audio_end]
+
+        # raw audio slice
+        audio_start = math.floor(
+            start_idx / len(clip_skeleton) * len(clip_audio_raw))
+        audio_end = audio_start + audio_sample_length
+        if audio_end > len(clip_audio_raw):
+            padded = np.pad(clip_audio_raw,
+                            (0, audio_end - len(clip_audio_raw)),
+                            mode="symmetric")
+            sample_audio = padded[audio_start:audio_end]
+        else:
+            sample_audio = clip_audio_raw[audio_start:audio_end]
+
+        filtered, message = MotionFilter(sample_skeletons, mean_pose).get()
+        is_correct = filtered != []
+        if not is_correct and not disable_filtering:
+            n_filtered_out[message] += 1
+            continue
+        if not is_correct:
+            filtered = sample_skeletons  # disable_filtering keeps all
+
+        poses = np.asarray(filtered)
+        dir_vec = skeleton.convert_pose_seq_to_dir_vec_np(poses)
+        normalized = normalize_dir_vec(dir_vec, mean_dir_vec)
+
+        samples.append((
+            sample_words, poses, normalized, sample_audio,
+            sample_spectrogram,
+            {"vid": vid,
+             "start_frame_no": clip_s_f + start_idx,
+             "end_frame_no": clip_s_f + fin_idx,
+             "start_time": subdivision_start_time,
+             "end_time": subdivision_end_time}))
+
+    return samples, n_filtered_out

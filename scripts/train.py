@@ -44,7 +44,8 @@ def main(args):
         pose_resampling_fps=args.motion_resampling_framerate,
         mean_dir_vec=mean_dir_vec,
         mean_pose=args.mean_pose,
-        remove_word_timing=(args.input_context == "text"))
+        remove_word_timing=(args.input_context == "text"),
+        cache_workers=args.loader_workers)
     val_dataset = SpeechMotionDataset(
         args.val_data_path[0],
         n_poses=args.n_poses,

@@ -164,3 +164,23 @@ def test_h36m_loader(tmp_path):
     batch = train.make_batch(np.arange(3))
     assert batch["target_vec"].shape == (3, 34, 27)
     assert batch["pose_seq"].shape == (3, 34, 10, 3)
+
+
+def test_parallel_cache_build_matches_sequential(raw_store_dir, tmp_path):
+    """Worker-pool cache builds must produce identical caches."""
+    from gesture_generation_from_trimodal_context_tpu.data.ggpack import (
+        GGPackStore)
+    mdv = synthetic.MEAN_DIR_VEC
+    outs = []
+    for workers, name in ((0, "seq"), (3, "par")):
+        out = str(tmp_path / name)
+        DataPreprocessor(raw_store_dir, out, 42, 10, FPS,
+                         synthetic.MEAN_POSE, mdv).run(n_workers=workers)
+        outs.append(GGPackStore(out))
+    seq, par = outs
+    assert len(seq) == len(par)
+    for field in ("vec_seq", "pose_seq", "audio", "spectrogram", "aux_num"):
+        np.testing.assert_array_equal(
+            np.asarray(seq.arrays[field]), np.asarray(par.arrays[field]))
+    assert seq.words == par.words
+    assert seq.vids == par.vids
