@@ -142,7 +142,7 @@ class SpeechMotionDataset:
             pad = self.expected_audio_length - audio_fixed.shape[1]
             audio_fixed = np.pad(audio_fixed, ((0, 0), (0, pad)),
                                  mode="symmetric")
-        spec_fixed = native.gather(arrays["spectrogram"], idx)[
+        spec_fixed = native.gather_f16_as_f32(arrays["spectrogram"], idx)[
             :, :, :self.expected_spectrogram_length]
         aux = native.gather(arrays["aux_num"], idx)
 

@@ -1,26 +1,36 @@
-"""Windowed running average (reference scripts/utils/average_meter.py:2-23)."""
+"""Windowed running average for training metrics.
+
+Same role as the reference's meter (scripts/utils/average_meter.py, which
+is itself the stock pytorch-examples utility): accumulate weighted values
+between print intervals, reset after each report.
+"""
+
+from dataclasses import dataclass, field
 
 
+@dataclass
 class AverageMeter:
-    """Computes and stores the average and current value."""
+    name: str
+    fmt: str = ":f"
+    val: float = 0.0
+    sum: float = field(default=0.0, repr=False)
+    count: int = field(default=0, repr=False)
 
-    def __init__(self, name, fmt=":f"):
-        self.name = name
-        self.fmt = fmt
-        self.reset()
+    @property
+    def avg(self):
+        return self.sum / self.count if self.count else 0.0
 
     def reset(self):
-        self.val = 0
-        self.avg = 0
-        self.sum = 0
+        self.val = 0.0
+        self.sum = 0.0
         self.count = 0
 
-    def update(self, val, n=1):
-        self.val = val
-        self.sum += val * n
+    def update(self, value, n=1):
+        self.val = value
+        self.sum += value * n
         self.count += n
-        self.avg = self.sum / self.count
 
     def __str__(self):
-        fmtstr = "{name} {val" + self.fmt + "} ({avg" + self.fmt + "})"
-        return fmtstr.format(**self.__dict__)
+        spec = self.fmt.lstrip(":")
+        return "{} {:{}} ({:{}})".format(self.name, self.val, spec,
+                                         self.avg, spec)
