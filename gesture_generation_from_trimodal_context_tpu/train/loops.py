@@ -248,10 +248,21 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
                                 meter.update(
                                     float(v[k] if np.ndim(v) else v), bs)
                         for key, value in ld.items():
-                            tb_writer.add_scalar(
-                                key + "/train",
-                                float(value[k] if np.ndim(value) else value),
-                                it - n_sub + 1 + k)
+                            scalar = float(value[k] if np.ndim(value)
+                                           else value)
+                            # failure detection (SURVEY.md §5: absent in
+                            # the reference): a non-finite loss means the
+                            # run is diverging — stop with context rather
+                            # than silently training on garbage
+                            if not np.isfinite(scalar):
+                                raise FloatingPointError(
+                                    "non-finite train metric %s=%r at "
+                                    "iteration %d (epoch %d); last good "
+                                    "checkpoint is in %s" % (
+                                        key, scalar, it - n_sub + 1 + k,
+                                        epoch, args.model_save_path))
+                            tb_writer.add_scalar(key + "/train", scalar,
+                                                 it - n_sub + 1 + k)
                 pending.clear()
 
             def add_vids(batch):
