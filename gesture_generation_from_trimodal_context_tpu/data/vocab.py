@@ -107,14 +107,13 @@ class Vocab:
     def _load_fasttext_bin(self, path, weights, dim):
         try:
             import fasttext  # optional dependency
+            word_model = fasttext.load_model(path)
         except ImportError:
-            logging.warning(
-                "  fasttext package unavailable; cannot read '%s'. "
-                "Convert it once with data/vocab.py:export_vectors_npz on a "
-                "machine with fasttext, or use a .vec file. Using random "
-                "init.", path)
-            return weights
-        word_model = fasttext.load_model(path)
+            # built-in pure-python reader (subword-aware, fastText>=0.9
+            # format) — no fasttext package needed (data/fasttext_bin.py)
+            from .fasttext_bin import load_model
+            logging.info("  using the built-in fastText .bin reader")
+            word_model = load_model(path)
         for word, idx in self.word2index.items():
             weights[idx] = word_model.get_word_vector(word)
         return weights
