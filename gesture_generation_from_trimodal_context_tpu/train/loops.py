@@ -292,8 +292,10 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
             iter_start_time = time.time()
             interval_start_time = time.time()
             iter_idx = -1
+            interval_iters = 0
             for group in grouped_batches():
                 iter_idx += len(group)
+                interval_iters += len(group)
                 if profiling and iter_idx >= 8:
                     jax.profiler.stop_trace()
                     profiling = False
@@ -336,12 +338,11 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
                                                            rng)
                         pending.append((global_iter, batch_size, loss_dict))
 
-                if (iter_idx + 1) % print_interval == 0:
-                    n_iters = len(pending)
+                if interval_iters >= print_interval:
                     flush_pending()  # one host sync per interval
                     summary = "EP {} ({:3d}) | {:>8s}, {:.0f} samples/s | ".format(
                         epoch, iter_idx + 1, time_since(start),
-                        batch_size * n_iters
+                        batch_size * interval_iters
                         / max(1e-6, time.time() - interval_start_time))
                     for meter in loss_meters:
                         if meter.count > 0:
@@ -350,6 +351,7 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
                             meter.reset()
                     logging.info(summary)
                     interval_start_time = time.time()
+                    interval_iters = 0
                 iter_start_time = time.time()
 
             flush_pending()
