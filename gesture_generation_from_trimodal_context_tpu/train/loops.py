@@ -289,7 +289,6 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
                     for b in group:  # remainder runs as single steps
                         yield [b]
 
-            iter_start_time = time.time()
             interval_start_time = time.time()
             iter_idx = -1
             interval_iters = 0
@@ -352,7 +351,6 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
                     logging.info(summary)
                     interval_start_time = time.time()
                     interval_iters = 0
-                iter_start_time = time.time()
 
             flush_pending()
             if profiling:
