@@ -87,7 +87,8 @@ class LMDBReader:
         lower, upper = struct.unpack_from("<HH", self._mm, off + 12)
         return off, flags, lower, upper
 
-    def _iter_page(self, pgno):
+    def _iter_nodes(self, pgno):
+        """Yield (key, value_locator) without copying value bytes."""
         off, flags, lower, upper = self._page(pgno)
         if flags & P_LEAF2:
             raise NotImplementedError("LEAF2 (fixed-size dupsort) pages")
@@ -99,7 +100,7 @@ class LMDBReader:
                 lo, hi, nflags, ksize = struct.unpack_from(
                     "<HHHH", self._mm, node)
                 child = lo | (hi << 16) | (nflags << 32)
-                yield from self._iter_page(child)
+                yield from self._iter_nodes(child)
         elif flags & P_LEAF:
             for p in ptrs:
                 node = off + p
@@ -110,20 +111,25 @@ class LMDBReader:
                 if nflags & F_BIGDATA:
                     ovf_pgno, = struct.unpack_from(
                         "<Q", self._mm, node + 8 + ksize)
-                    ovf_off = ovf_pgno * self.psize
-                    value = self._mm[ovf_off + PAGEHDRSZ:
-                                     ovf_off + PAGEHDRSZ + datasize]
+                    start = ovf_pgno * self.psize + PAGEHDRSZ
                 else:
-                    d0 = node + 8 + ksize
-                    value = self._mm[d0:d0 + datasize]
-                yield key, bytes(value)
+                    start = node + 8 + ksize
+                yield key, (start, datasize)
         else:
             raise ValueError("unexpected page flags 0x%x" % flags)
 
-    def items(self):
+    def _read_value(self, locator):
+        start, size = locator
+        return bytes(self._mm[start:start + size])
+
+    def iter_locators(self):
         if self.main_root == 0xFFFFFFFFFFFFFFFF:
             return
-        yield from self._iter_page(self.main_root)
+        yield from self._iter_nodes(self.main_root)
+
+    def items(self):
+        for key, locator in self.iter_locators():
+            yield key, self._read_value(locator)
 
     def close(self):
         self._mm.close()
@@ -273,14 +279,17 @@ class LMDBRawStore:
         return self.reader.n_entries
 
     def keys(self):
-        return [k for k, _ in self.reader.items()]
+        return [k for k, _ in self.reader.iter_locators()]
 
     def get(self, key):
+        """Decode only the requested record (keys scanned without reading
+        value bytes)."""
         if isinstance(key, str):
             key = key.encode("ascii")
-        for k, v in self.reader.items():
+        for k, locator in self.reader.iter_locators():
             if k == key:
-                return legacy_arrow_deserialize(v)
+                return legacy_arrow_deserialize(
+                    self.reader._read_value(locator))
         raise KeyError(key)
 
     def iter_videos(self):
