@@ -71,3 +71,21 @@ def test_pure_tone_lands_in_right_mel_band():
         np.linspace(audio._hz_to_mel_slaney(0.0),
                     audio._hz_to_mel_slaney(8000.0), 130))[1:-1]
     assert abs(centers[band] - 1000.0) < 60.0
+
+
+def test_stft_matches_naive_dft():
+    """Validate framing/window/rfft against an explicit DFT."""
+    rng = np.random.RandomState(7)
+    y = rng.randn(3000)
+    power = audio.stft_power(y, n_fft=1024, hop_length=512)
+    pad = 512
+    ypad = np.pad(y, (pad, pad), mode="reflect")
+    w = audio.hann_window(1024)
+    k = np.arange(513)
+    n = np.arange(1024)
+    dft = np.exp(-2j * np.pi * np.outer(k, n) / 1024)
+    for frame_idx in (0, 2, power.shape[1] - 1):
+        frame = ypad[frame_idx * 512:frame_idx * 512 + 1024] * w
+        spec = dft @ frame
+        np.testing.assert_allclose(power[:, frame_idx], np.abs(spec) ** 2,
+                                   rtol=1e-6, atol=1e-8)
