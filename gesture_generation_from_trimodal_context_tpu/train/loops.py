@@ -313,6 +313,12 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
                             and not k.startswith("aux_")]
                     stacked = {k: np.stack([b[k] for b in batches])
                                for k in keys}
+                    # shard the microbatch axis-1 (batch) over the mesh
+                    from jax.sharding import NamedSharding, PartitionSpec
+                    sh = NamedSharding(
+                        mesh, PartitionSpec(None, mesh_lib.DATA_AXIS))
+                    stacked = {k: jax.device_put(v, sh)
+                               for k, v in stacked.items()}
                     rng = jax.random.fold_in(root_rng, global_iter + 1)
                     global_iter += len(group)
                     gen_state, dis_state, loss_dict = multi_step_fn(
