@@ -56,6 +56,73 @@ def make_embed_train_step(bundle, args, mode=None, use_pose_diff=False):
     return step, tx
 
 
+def make_embed_train_step_shardmap(bundle, args, mesh, mode=None,
+                                   use_pose_diff=False):
+    """Explicit-SPMD variant of the embed train step via shard_map.
+
+    Where the jit path treats the sharded batch as one logical array
+    (global-batch BatchNorm statistics), this variant runs the reference
+    math per shard — per-device BN batch statistics and per-device
+    dropout/noise draws, exactly like torch DataParallel — and reduces
+    explicitly over ICI: loss and grads via psum (the reference's summed
+    recon loss makes the shard-sum exact), running BN stats via pmean.
+    """
+    import optax
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    net = bundle.generator
+    tx = adam(args.learning_rate)
+    n_pre = args.n_pre_poses
+    axis = "data"
+
+    def per_shard(params, batch_stats, opt_state, target, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        pre_seq = target[:, 0:n_pre]
+
+        def loss_fn(p):
+            rngs = split_rngs(rng, ("noise", "dropout"))
+            out_tuple, bs = apply_net(
+                net, p, batch_stats, None, None, pre_seq, target, mode,
+                train=True, rngs=rngs, variational_encoding=False)
+            recon = out_tuple[6]
+            recon_loss = jnp.mean(jnp.abs(recon - target), axis=(1, 2))
+            if use_pose_diff:
+                td = target[:, 1:] - target[:, :-1]
+                rd = recon[:, 1:] - recon[:, :-1]
+                recon_loss = recon_loss + jnp.mean(jnp.abs(rd - td),
+                                                   axis=(1, 2))
+            return jnp.sum(recon_loss), bs
+
+        (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        loss = jax.lax.psum(loss, axis)          # summed loss is additive
+        grads = jax.lax.psum(grads, axis)        # explicit ICI all-reduce
+        bs = jax.tree_util.tree_map(
+            lambda x: jax.lax.pmean(x, axis), bs)  # sync running stats
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, bs, new_opt, {"loss": loss}
+
+    sharded = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_rep=False)
+
+    @jax.jit
+    def step(state: NetState, batch, rng):
+        params, bs, opt, metrics = sharded(
+            state.params, state.batch_stats, state.opt_state,
+            batch["target_vec"], rng)
+        return state.replace(params=params, batch_stats=bs, opt_state=opt,
+                             step=state.step + 1), metrics
+
+    return step, tx
+
+
 def make_embed_eval_step(bundle, mode=None):
     net = bundle.generator
 
