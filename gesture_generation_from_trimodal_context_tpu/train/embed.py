@@ -109,8 +109,7 @@ def make_embed_train_step_shardmap(bundle, args, mesh, mode=None,
     sharded = shard_map(
         per_shard, mesh=mesh,
         in_specs=(P(), P(), P(), P(axis), P()),
-        out_specs=(P(), P(), P(), P()),
-        check_rep=False)
+        out_specs=(P(), P(), P(), P()))
 
     @jax.jit
     def step(state: NetState, batch, rng):
