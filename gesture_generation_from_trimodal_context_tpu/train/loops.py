@@ -74,6 +74,13 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
 
     speaker_model = factory.resolve_speaker_model(args, speaker_model)
 
+    if getattr(args, "use_pallas", False):
+        # Pallas-fused GRU kernels for every forward built below (fastest
+        # for inference-heavy loops; training backward re-runs the scan
+        # math, see ops/pallas_gru.py)
+        from ..ops.recurrent import set_gru_impl
+        set_gru_impl("pallas")
+
     # model + mesh
     bundle = factory.init_model(args, lang_model, speaker_model, pose_dim)
     mesh = device_mesh or mesh_lib.get_mesh(getattr(args, "dp_devices", -1))
