@@ -11,7 +11,6 @@ convert to mean-centered unit direction vectors, and store.
 
 import logging
 import math
-import os
 from collections import defaultdict
 from concurrent.futures import ProcessPoolExecutor
 
@@ -89,6 +88,13 @@ class DataPreprocessor:
                             n_filtered_out[key] += n
 
             self.n_out_samples = writer.n_samples
+
+        if self.n_out_samples == 0:
+            raise RuntimeError(
+                "cache build produced 0 samples from %r — every window was "
+                "filtered out (%s) or the clips are shorter than %d frames"
+                % (self.src.__class__.__name__, dict(n_filtered_out),
+                   self.n_poses))
 
         n_total_filtered = sum(n_filtered_out.values())
         logging.info("no. of samples: %d", self.n_out_samples)

@@ -126,7 +126,6 @@ def serve(checkpoint_path, host="127.0.0.1", port=8765, warmup=True):
 
 
 def main(argv):
-    import sys
     ckpt = argv[1]
     port = int(argv[2]) if len(argv) > 2 else 8765
     server = serve(ckpt, port=port)
