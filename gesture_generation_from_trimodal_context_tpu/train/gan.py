@@ -34,10 +34,14 @@ from .state import NetState, adam, apply_grads
 EPS = 1e-8
 
 
-def make_gan_train_step(bundle, args):
+def make_gan_train_step(bundle, args, grad_reduce=None):
+    """grad_reduce: optional tree-map applied to gradients before the
+    optimizer updates (the shard_map variant passes a pmean over the
+    data axis; None for the jit/pjit path where XLA reduces)."""
     gen, dis = bundle.generator, bundle.discriminator
     gen_tx = adam(args.learning_rate)
     dis_tx = adam(args.learning_rate * args.discriminator_lr_weight)
+    reduce_grads = grad_reduce or (lambda g: g)
 
     n_pre = args.n_pre_poses
     w_rg = args.loss_regression_weight
@@ -84,7 +88,8 @@ def make_gan_train_step(bundle, args):
 
             (d_loss, d_bs), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(dis_state.params)
-            dis_state = apply_grads(dis_state, dis_tx, d_grads, d_bs)
+            dis_state = apply_grads(dis_state, dis_tx,
+                                    reduce_grads(d_grads), d_bs)
             metrics["dis"] = d_loss
 
         # ---- G step (reference train_gan.py:47-92) ----
@@ -101,7 +106,11 @@ def make_gan_train_step(bundle, args):
 
             if z_type in ("speaker", "random") and w_reg > 0.0:
                 if z_type == "speaker":
-                    rand_vids = jax.random.permutation(r[5], vids)
+                    # the shard_map path precomputes a GLOBAL permutation
+                    # (reference permutes the full batch before scatter)
+                    rand_vids = batch.get("rand_vids")
+                    if rand_vids is None:
+                        rand_vids = jax.random.permutation(r[5], vids)
                 else:
                     rand_vids = None
                 (out_rand, z_rand, *_), g_bs = gen_fwd(
@@ -134,7 +143,8 @@ def make_gan_train_step(bundle, args):
 
         (_, (g_bs, d_bs, g_metrics)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(gen_state.params)
-        gen_state = apply_grads(gen_state, gen_tx, g_grads, g_bs)
+        gen_state = apply_grads(gen_state, gen_tx,
+                                reduce_grads(g_grads), g_bs)
         # the reference's D also sees the G-step forward in train mode
         dis_state = dis_state.replace(batch_stats=d_bs)
 
@@ -145,6 +155,65 @@ def make_gan_train_step(bundle, args):
                    donate_argnames=("gen_state", "dis_state"))
     step.body = step_body
     return step, gen_tx, dis_tx
+
+
+def make_gan_train_step_shardmap(bundle, args, mesh):
+    """Explicit-SPMD variant of the adversarial step via shard_map.
+
+    DataParallel-faithful semantics for the flagship model: BatchNorm
+    batch statistics and dropout/noise draws are PER SHARD (like per-GPU
+    replicas under torch DataParallel), the diversity regularizer's
+    speaker permutation is GLOBAL (the reference permutes the full batch
+    before scatter, train_gan.py:62-63), the losses are global batch
+    means (gradients pmean-reduced over ICI before both optimizer
+    updates), and running BN stats are pmean-synced.  The jit path
+    (make_gan_train_step) instead computes global-batch BN statistics.
+    """
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = "data"
+    pmean_tree = lambda t: jax.tree_util.tree_map(
+        lambda x: jax.lax.pmean(x, axis), t)
+    step, gen_tx, dis_tx = make_gan_train_step(bundle, args,
+                                               grad_reduce=pmean_tree)
+    body = step.body
+    z_type = bundle.generator.z_type
+
+    def shard_body(gen_state, dis_state, batch, rng, train_d, add_gan):
+        local_rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        gen_state, dis_state, metrics = body(
+            gen_state, dis_state, batch, local_rng, train_d, add_gan)
+        metrics = {k: jax.lax.pmean(v, axis) for k, v in metrics.items()}
+        gen_state = gen_state.replace(
+            batch_stats=pmean_tree(gen_state.batch_stats))
+        dis_state = dis_state.replace(
+            batch_stats=pmean_tree(dis_state.batch_stats))
+        return gen_state, dis_state, metrics
+
+    @partial(jax.jit, static_argnames=("train_d", "add_gan"))
+    def sm_step(gen_state, dis_state, batch, rng, train_d, add_gan):
+        if z_type == "speaker" and "rand_vids" not in batch:
+            # global permutation, computed before sharding into replicas
+            batch = dict(batch, rand_vids=jax.random.permutation(
+                jax.random.fold_in(rng, 999), batch["vid_indices"]))
+        kwargs = dict(mesh=mesh,
+                      in_specs=(P(), P(), P(axis), P()),
+                      out_specs=(P(), P(), P()))
+        body_fn = lambda g, d, b, r: shard_body(g, d, b, r, train_d,
+                                                add_gan)
+        try:
+            # replicated h0/constants mix with sharded activations inside
+            # the GRU scans; skip the varying-manual-axes check
+            fn = shard_map(body_fn, check_vma=False, **kwargs)
+        except TypeError:
+            fn = shard_map(body_fn, check_rep=False, **kwargs)
+        return fn(gen_state, dis_state, batch, rng)
+
+    return sm_step, gen_tx, dis_tx
 
 
 def make_gan_multi_step(bundle, args, n_steps):

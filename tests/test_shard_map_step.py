@@ -69,3 +69,35 @@ def test_shardmap_runs_on_eight_devices():
                 for a, b in zip(jax.tree_util.tree_leaves(st.params),
                                 jax.tree_util.tree_leaves(p0)))
     assert moved > 0
+
+
+def test_gan_shardmap_runs_on_eight_devices(rng):
+    from gesture_generation_from_trimodal_context_tpu.train.gan import (
+        make_gan_train_step_shardmap)
+    from tests.test_train_steps import make_batch, tiny_speakers, tiny_vocab
+
+    args = tiny_args()
+    bundle = factory.init_model(args, tiny_vocab(), tiny_speakers(), 27)
+    key = jax.random.PRNGKey(0)
+    gvars = factory.generator_init_variables(bundle, args, key, 8)
+    dvars = factory.discriminator_init_variables(bundle, args, key, 8)
+    mesh = mesh_lib.get_mesh(8)
+    with mesh:
+        step, gtx, dtx = make_gan_train_step_shardmap(bundle, args, mesh)
+        gs = state_lib.make_net_state(gvars, gtx)
+        ds = state_lib.make_net_state(dvars, dtx)
+        gs = mesh_lib.replicate(gs, mesh)
+        ds = mesh_lib.replicate(ds, mesh)
+        batch = make_batch(rng, b=8)
+        dbatch = mesh_lib.shard_batch(
+            {k: np.asarray(batch[k]) for k in
+             ("in_text", "in_audio", "target_vec", "vid_indices")}, mesh)
+        gs, ds, m = step(gs, ds, dbatch, jax.random.PRNGKey(1),
+                         train_d=True, add_gan=True)
+        gs, ds, m = step(gs, ds, dbatch, jax.random.PRNGKey(2),
+                         train_d=True, add_gan=True)
+    for k in ("loss", "gen", "dis", "KLD", "DIV_REG"):
+        assert np.isfinite(float(m[k])), k
+    # params ended replicated across the mesh
+    leaf = jax.tree_util.tree_leaves(gs.params)[0]
+    assert leaf.sharding.is_fully_replicated
