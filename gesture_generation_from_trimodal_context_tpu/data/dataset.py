@@ -117,58 +117,69 @@ class SpeechMotionDataset:
 
     # ---- batch assembly -------------------------------------------------
 
-    def make_batch(self, indices):
+    def make_batch(self, indices, fields=None):
         """Assemble a statically-shaped batch dict from sample indices.
 
         Fixed-shape fields come from native (or numpy) memmap gathers with
-        the window clip fused in; word tensors from the native scatter."""
+        the window clip fused in; word tensors from the native scatter.
+        ``fields`` (None = all) restricts which keys are produced so a
+        model's loop skips gathers it never consumes (e.g. the flagship
+        never reads in_spec).  in_spec stays float16 across the host->
+        device transfer; the models cast on device."""
         from ..native import loader as native
 
+        want = (lambda k: fields is None or k in fields)
         idx = np.ascontiguousarray(indices, np.int64)
         n = self.n_poses
         b = len(idx)
         arrays = self.store.arrays
+        out = {}
 
-        vec = native.gather(arrays["vec_seq"], idx, copy_count=n)
-        pose = native.gather(arrays["pose_seq"], idx, copy_count=n)
-        # fix audio length: the cached window is longer (extended), so the
-        # clip path of make_audio_fixed_length applies
-        # (reference lmdb_data_loader.py:156)
-        audio_fixed = native.gather(arrays["audio"], idx,
-                                    copy_count=min(
-                                        self.expected_audio_length,
-                                        arrays["audio"].shape[1]))
-        if audio_fixed.shape[1] < self.expected_audio_length:
-            pad = self.expected_audio_length - audio_fixed.shape[1]
-            audio_fixed = np.pad(audio_fixed, ((0, 0), (0, pad)),
-                                 mode="symmetric")
-        spec_fixed = native.gather_f16_as_f32(arrays["spectrogram"], idx)[
-            :, :, :self.expected_spectrogram_length]
+        if want("target_vec"):
+            vec = native.gather(arrays["vec_seq"], idx, copy_count=n)
+            out["target_vec"] = vec.reshape(b, n, -1).astype(np.float32,
+                                                             copy=False)
+        if want("pose_seq"):
+            pose = native.gather(arrays["pose_seq"], idx, copy_count=n)
+            out["pose_seq"] = pose.reshape(b, n, -1).astype(np.float32,
+                                                            copy=False)
+        if want("in_audio"):
+            # fix audio length: the cached window is longer (extended), so
+            # the clip path of make_audio_fixed_length applies
+            # (reference lmdb_data_loader.py:156)
+            audio_fixed = native.gather(arrays["audio"], idx,
+                                        copy_count=min(
+                                            self.expected_audio_length,
+                                            arrays["audio"].shape[1]))
+            if audio_fixed.shape[1] < self.expected_audio_length:
+                pad = self.expected_audio_length - audio_fixed.shape[1]
+                audio_fixed = np.pad(audio_fixed, ((0, 0), (0, pad)),
+                                     mode="symmetric")
+            out["in_audio"] = audio_fixed.astype(np.float32, copy=False)
+        if want("in_spec"):
+            out["in_spec"] = native.gather(
+                arrays["spectrogram"], idx)[
+                    :, :, :self.expected_spectrogram_length]
+
         aux = native.gather(arrays["aux_num"], idx)
+        if want("in_text") or want("word_seq"):
+            start_t = aux[:, 2]
+            end_t = aux[:, 3]
+            n_cached = arrays["vec_seq"].shape[1]
+            sample_end = start_t + (end_t - start_t) * n / n_cached
+            frame_dur = (sample_end - start_t) / n
+            ext_words, word_ids, word_lengths = native.word_scatter(
+                self._tok_ids, self._tok_starts, self._tok_offsets, idx,
+                start_t, sample_end, frame_dur, n, self.word_cap,
+                self.lang_model.SOS_token, self.lang_model.EOS_token,
+                self.remove_word_timing)
+            out["in_text"] = ext_words
+            out["word_seq"] = word_ids
+            out["word_lengths"] = word_lengths
 
-        start_t = aux[:, 2]
-        end_t = aux[:, 3]
-        n_cached = arrays["vec_seq"].shape[1]
-        sample_end = start_t + (end_t - start_t) * n / n_cached
-        frame_dur = (sample_end - start_t) / n
-        ext_words, word_ids, word_lengths = native.word_scatter(
-            self._tok_ids, self._tok_starts, self._tok_offsets, idx,
-            start_t, sample_end, frame_dur, n, self.word_cap,
-            self.lang_model.SOS_token, self.lang_model.EOS_token,
-            self.remove_word_timing)
-
-        vids = [self.store.vids[int(i)] for i in idx]
-        return {
-            "word_seq": word_ids,
-            "word_lengths": word_lengths,
-            "in_text": ext_words,
-            "pose_seq": pose.reshape(b, n, -1).astype(np.float32),
-            "target_vec": vec.reshape(b, n, -1).astype(np.float32),
-            "in_audio": audio_fixed.astype(np.float32),
-            "in_spec": spec_fixed.astype(np.float32),
-            "aux_vids": vids,
-            "aux_times": aux[:, 2:4],
-        }
+        out["aux_vids"] = [self.store.vids[int(i)] for i in idx]
+        out["aux_times"] = aux[:, 2:4]
+        return out
 
 
 class BatchIterator:

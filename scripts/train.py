@@ -64,12 +64,24 @@ def main(args):
         mean_dir_vec=mean_dir_vec,
         mean_pose=args.mean_pose)
 
-    train_loader = BatchIterator(train_dataset, args.batch_size,
-                                 shuffle=True,
-                                 seed=max(args.random_seed, 0),
-                                 prefetch=args.prefetch_batches)
-    test_loader = BatchIterator(val_dataset, args.batch_size, shuffle=False,
-                                prefetch=args.prefetch_batches)
+    # gather only the fields this model family consumes (hot-path win:
+    # e.g. the flagship never reads spectrograms, seq2seq reads no audio)
+    fields = {
+        "multimodal_context": {"in_text", "in_audio", "target_vec"},
+        "joint_embedding": {"in_text", "in_audio", "target_vec"},
+        "gesture_autoencoder": {"in_text", "in_audio", "target_vec"},
+        "seq2seq": {"word_seq", "target_vec"},
+        "speech2gesture": {"in_spec", "in_audio", "target_vec"},
+    }.get(args.model)
+
+    train_loader = BatchIterator(
+        train_dataset, args.batch_size, shuffle=True,
+        seed=max(args.random_seed, 0), prefetch=args.prefetch_batches,
+        make_batch=lambda idx: train_dataset.make_batch(idx, fields))
+    test_loader = BatchIterator(
+        val_dataset, args.batch_size, shuffle=False,
+        prefetch=args.prefetch_batches,
+        make_batch=lambda idx: val_dataset.make_batch(idx, fields))
 
     vocab_cache_path = os.path.join(
         os.path.split(args.train_data_path[0])[0], "vocab_cache.pkl")
