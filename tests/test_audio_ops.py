@@ -89,3 +89,20 @@ def test_stft_matches_naive_dft():
         spec = dft @ frame
         np.testing.assert_allclose(power[:, frame_idx], np.abs(spec) ** 2,
                                    rtol=1e-6, atol=1e-8)
+
+
+def test_melspectrogram_golden_snapshot():
+    """Frozen output snapshot for a deterministic two-tone input — guards
+    the whole mel pipeline (stft, filterbank, power_to_db) against
+    regressions."""
+    t = np.arange(8000) / 16000.0
+    y = (0.5 * np.sin(2 * np.pi * 440 * t)
+         + 0.25 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    m = audio.extract_melspectrogram(y)
+    assert m.shape == (128, 16)
+    np.testing.assert_allclose(
+        m[20:24, 5].astype(np.float32),
+        [-39.5312, -52.4375, -61.2188, -66.5625], atol=0.01)
+    assert float(m.max()) == 0.0
+    assert float(m.min()) == -80.0
+    np.testing.assert_allclose(float(m.mean()), -70.8125, atol=0.01)
