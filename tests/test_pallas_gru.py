@@ -113,3 +113,34 @@ def test_fused_bigru_gradients(rng):
     for a, b in zip(jax.tree_util.tree_leaves(g1),
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_gan_train_step_under_pallas_impl(rng):
+    """--use_pallas now applies to training; the custom-VJP backward must
+    work inside the full adversarial step."""
+    from gesture_generation_from_trimodal_context_tpu.models import factory
+    from gesture_generation_from_trimodal_context_tpu.ops import recurrent
+    from gesture_generation_from_trimodal_context_tpu.train import (
+        state as state_lib)
+    from gesture_generation_from_trimodal_context_tpu.train.gan import (
+        make_gan_train_step)
+    from tests.test_train_steps import make_batch, tiny_args, tiny_speakers, \
+        tiny_vocab
+
+    args = tiny_args()
+    bundle = factory.init_model(args, tiny_vocab(), tiny_speakers(), 27)
+    key = jax.random.PRNGKey(0)
+    gvars = factory.generator_init_variables(bundle, args, key, 4)
+    dvars = factory.discriminator_init_variables(bundle, args, key, 4)
+    recurrent.set_gru_impl("pallas")
+    try:
+        step, gtx, dtx = make_gan_train_step(bundle, args)
+        gs = state_lib.make_net_state(gvars, gtx)
+        ds = state_lib.make_net_state(dvars, dtx)
+        batch = make_batch(rng)
+        gs, ds, m = step(gs, ds, batch, jax.random.PRNGKey(1),
+                         train_d=True, add_gan=True)
+    finally:
+        recurrent.set_gru_impl("scan")
+    for k in ("loss", "gen", "dis"):
+        assert np.isfinite(float(m[k])), k
