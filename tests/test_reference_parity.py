@@ -365,3 +365,38 @@ def test_seq2seq_matches_reference():
                     torch.tensor(lengths, dtype=torch.long),
                     torch.tensor(poses), None).numpy()
     np.testing.assert_allclose(np.asarray(out), t_out, atol=1e-3)
+
+
+def test_motion_filter_checks_match_reference():
+    """Predicate-level parity with the reference MotionPreprocessor.
+
+    The reference's get() wrapper is not executable on modern numpy (its
+    `skeletons != []` array-vs-list comparison now raises), so the three
+    check methods are compared directly on diverse windows."""
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from data_loader.motion_preprocessor import MotionPreprocessor
+    from gesture_generation_from_trimodal_context_tpu.data.motion_filter import (
+        MotionFilter)
+    from gesture_generation_from_trimodal_context_tpu.data import synthetic
+
+    rng = np.random.RandomState(0)
+    mean_pose = synthetic.MEAN_POSE
+    cases = [synthetic.synthetic_pose_sequence(34, 15, rng, i * 0.9)
+             for i in range(5)]
+    cases.append(np.tile(mean_pose.reshape(1, 10, 3) + 0.05, (34, 1, 1)))
+    cases.append(np.tile(mean_pose.reshape(1, 10, 3), (34, 1, 1))
+                 + 0.001 * rng.randn(34, 10, 3))
+    tilted = synthetic.synthetic_pose_sequence(34, 15, rng)
+    c, s_ = np.cos(0.8), np.sin(0.8)
+    rot = np.array([[c, -s_, 0], [s_, c, 0], [0, 0, 1.0]])
+    cases.append(tilted @ rot.T)
+    for i in range(5):
+        cases.append(0.3 * rng.randn(34, 10, 3) + mean_pose.reshape(10, 3))
+
+    for i, skel in enumerate(cases):
+        ours = MotionFilter(skel.copy(), mean_pose)
+        ref = MotionPreprocessor(skel.copy(), mean_pose)
+        assert ours.check_pose_diff() == ref.check_pose_diff(), i
+        assert ours.check_spine_angle() == ref.check_spine_angle(), i
+        assert ours.check_static_motion() == ref.check_static_motion(), i
