@@ -400,3 +400,23 @@ def test_motion_filter_checks_match_reference():
         assert ours.check_pose_diff() == ref.check_pose_diff(), i
         assert ours.check_spine_angle() == ref.check_spine_angle(), i
         assert ours.check_static_motion() == ref.check_static_motion(), i
+
+
+def test_seq2seq_custom_loss_matches_reference():
+    """Loss-formula parity with the reference's custom_loss
+    (train_eval/train_seq2seq.py:6-33), evaluated on identical tensors."""
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from train_eval.train_seq2seq import custom_loss as ref_loss
+    from gesture_generation_from_trimodal_context_tpu.train.seq2seq_step import (
+        custom_loss as our_loss)
+
+    args = SimpleNamespace(loss_regression_weight=250.0,
+                           loss_kld_weight=0.1, loss_reg_weight=25.0)
+    rng = np.random.RandomState(5)
+    out = rng.randn(4, 34, 27).astype(np.float32)
+    tgt = rng.randn(4, 34, 27).astype(np.float32)
+    ours = float(our_loss(jnp.asarray(out), jnp.asarray(tgt), args))
+    theirs = float(ref_loss(torch.tensor(out), torch.tensor(tgt), args,
+                            epoch=0))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5)
