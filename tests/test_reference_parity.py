@@ -420,3 +420,24 @@ def test_seq2seq_custom_loss_matches_reference():
     theirs = float(ref_loss(torch.tensor(out), torch.tensor(tgt), args,
                             epoch=0))
     np.testing.assert_allclose(ours, theirs, rtol=1e-5)
+
+
+def test_huber_beta_trick_matches_torch():
+    """smooth_l1(x/b, y/b)*b — the GAN regression loss's beta-scaling
+    trick (reference train_gan.py:53-54,69) — matches torch exactly."""
+    import torch.nn.functional as F
+    from gesture_generation_from_trimodal_context_tpu.train.common import (
+        smooth_l1, smooth_l1_none)
+    rng = np.random.RandomState(0)
+    a = rng.randn(8, 34, 27).astype(np.float32)
+    b = rng.randn(8, 34, 27).astype(np.float32)
+    for beta in (0.1, 0.05):
+        ours = float(smooth_l1(jnp.asarray(a), jnp.asarray(b), beta))
+        theirs = float(F.smooth_l1_loss(torch.tensor(a) / beta,
+                                        torch.tensor(b) / beta) * beta)
+        assert abs(ours - theirs) < 1e-5
+        np.testing.assert_allclose(
+            np.asarray(smooth_l1_none(jnp.asarray(a), jnp.asarray(b), beta)),
+            (F.smooth_l1_loss(torch.tensor(a) / beta,
+                              torch.tensor(b) / beta,
+                              reduction="none") * beta).numpy(), atol=1e-5)
