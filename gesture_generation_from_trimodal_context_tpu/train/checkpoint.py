@@ -63,8 +63,19 @@ def load_checkpoint(filename):
 
 def load_checkpoint_and_model(checkpoint_path, rng):
     """Rebuild the model from a checkpoint's embedded args and load the
-    generator variables (reference train_utils.py:167-183)."""
+    generator variables (reference train_utils.py:167-183).
+
+    Accepts BOTH this framework's msgpack checkpoints and the reference's
+    torch.save ``.bin`` blobs (e.g. the released generator and the
+    train_h36m_gesture_autoencoder FGD net) — torch files are converted
+    in-memory via interop.torch_import."""
     logging.info("loading checkpoint %s", checkpoint_path)
+    from ..interop import torch_import
+    if torch_import.is_torch_checkpoint(checkpoint_path):
+        state = torch_import.load_torch_checkpoint(checkpoint_path)
+        return (state["args"], state["bundle"], state["gen_vars"],
+                state["lang_model"], state["speaker_model"],
+                state["pose_dim"])
     ckpt = load_checkpoint(checkpoint_path)
     args = ckpt["args"]
     lang_model = ckpt["lang_model"]
