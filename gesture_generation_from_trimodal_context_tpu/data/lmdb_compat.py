@@ -48,6 +48,7 @@ class LMDBReader:
             if os.path.isdir(path) else path
         self._f = open(data_path, "rb")
         self._mm = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
+        self.pages_read = 0  # instrumentation (complexity tests)
         meta = self._read_meta()
         self.psize = meta["psize"]
         self.main_root = meta["main_root"]
@@ -82,10 +83,33 @@ class LMDBReader:
         return m0 if m0["txnid"] >= m1["txnid"] else m1
 
     def _page(self, pgno):
+        self.pages_read += 1
         off = pgno * self.psize
         flags, = struct.unpack_from("<H", self._mm, off + 10)
         lower, upper = struct.unpack_from("<HH", self._mm, off + 12)
         return off, flags, lower, upper
+
+    def _node_key(self, node):
+        ksize, = struct.unpack_from("<H", self._mm, node + 6)
+        return bytes(self._mm[node + 8:node + 8 + ksize])
+
+    def _branch_child(self, node):
+        """Child pgno of a branch node: 48-bit pgno packed into the
+        lo/hi/flags fields (lmdb mdb.c NODEPGNO)."""
+        lo, hi, nflags = struct.unpack_from("<HHH", self._mm, node)
+        return lo | (hi << 16) | (nflags << 32)
+
+    def _leaf_locator(self, node):
+        """(value_start, value_size) of a leaf node, resolving overflow
+        (F_BIGDATA) values to their overflow-page chain."""
+        lo, hi, nflags, ksize = struct.unpack_from("<HHHH", self._mm, node)
+        datasize = lo | (hi << 16)
+        if nflags & F_BIGDATA:
+            ovf_pgno, = struct.unpack_from("<Q", self._mm, node + 8 + ksize)
+            start = ovf_pgno * self.psize + PAGEHDRSZ
+        else:
+            start = node + 8 + ksize
+        return start, datasize
 
     def _iter_nodes(self, pgno):
         """Yield (key, value_locator) without copying value bytes."""
@@ -96,27 +120,63 @@ class LMDBReader:
         ptrs = struct.unpack_from("<%dH" % nkeys, self._mm, off + PAGEHDRSZ)
         if flags & P_BRANCH:
             for p in ptrs:
-                node = off + p
-                lo, hi, nflags, ksize = struct.unpack_from(
-                    "<HHHH", self._mm, node)
-                child = lo | (hi << 16) | (nflags << 32)
-                yield from self._iter_nodes(child)
+                yield from self._iter_nodes(self._branch_child(off + p))
         elif flags & P_LEAF:
             for p in ptrs:
                 node = off + p
-                lo, hi, nflags, ksize = struct.unpack_from(
-                    "<HHHH", self._mm, node)
-                datasize = lo | (hi << 16)
-                key = bytes(self._mm[node + 8:node + 8 + ksize])
-                if nflags & F_BIGDATA:
-                    ovf_pgno, = struct.unpack_from(
-                        "<Q", self._mm, node + 8 + ksize)
-                    start = ovf_pgno * self.psize + PAGEHDRSZ
-                else:
-                    start = node + 8 + ksize
-                yield key, (start, datasize)
+                yield self._node_key(node), self._leaf_locator(node)
         else:
             raise ValueError("unexpected page flags 0x%x" % flags)
+
+    def search(self, key):
+        """Root-to-leaf B-tree descent with in-page binary search (lmdb
+        mdb.c mdb_page_search/mdb_node_search): O(log n) pages touched.
+        Returns the value locator or None."""
+        if self.main_root == 0xFFFFFFFFFFFFFFFF:
+            return None
+        pgno = self.main_root
+        while True:
+            off, flags, lower, upper = self._page(pgno)
+            if flags & P_LEAF2:
+                raise NotImplementedError("LEAF2 (fixed-size dupsort) pages")
+            nkeys = (lower - PAGEHDRSZ) >> 1
+            if nkeys == 0:
+                return None
+            ptrs = struct.unpack_from("<%dH" % nkeys, self._mm,
+                                      off + PAGEHDRSZ)
+            if flags & P_BRANCH:
+                # node 0 of a branch page has an empty key (implicit -inf);
+                # descend into the child of the greatest node with
+                # node.key <= key
+                lo_i, hi_i, ans = 1, nkeys - 1, 0
+                while lo_i <= hi_i:
+                    mid = (lo_i + hi_i) >> 1
+                    if self._node_key(off + ptrs[mid]) <= key:
+                        ans = mid
+                        lo_i = mid + 1
+                    else:
+                        hi_i = mid - 1
+                pgno = self._branch_child(off + ptrs[ans])
+            elif flags & P_LEAF:
+                lo_i, hi_i = 0, nkeys - 1
+                while lo_i <= hi_i:
+                    mid = (lo_i + hi_i) >> 1
+                    node = off + ptrs[mid]
+                    k = self._node_key(node)
+                    if k == key:
+                        return self._leaf_locator(node)
+                    if k < key:
+                        lo_i = mid + 1
+                    else:
+                        hi_i = mid - 1
+                return None
+            else:
+                raise ValueError("unexpected page flags 0x%x" % flags)
+
+    def get(self, key):
+        """Value bytes for key, or None."""
+        locator = self.search(key)
+        return None if locator is None else self._read_value(locator)
 
     def _read_value(self, locator):
         start, size = locator
@@ -159,7 +219,13 @@ def legacy_arrow_deserialize(buf):
         "<iii", buf, 0)
     pos = _align(12, 8)
 
-    stream = pa.input_stream(pa.py_buffer(buf[pos:]))
+    # one Buffer over the whole blob; per-section access is zero-copy
+    # Buffer.slice views (a bytes-slice here would copy the remainder of
+    # the record per tensor -> O(record^2) byte traffic on real TED
+    # records, which hold every clip's skeleton/audio/spectrogram arrays)
+    whole = pa.py_buffer(buf)
+
+    stream = pa.input_stream(whole.slice(pos))
     reader = pa.ipc.open_stream(stream)
     batch = reader.read_next_batch()
     try:
@@ -172,7 +238,7 @@ def legacy_arrow_deserialize(buf):
     ndarrays = []
     for _ in range(num_tensors + num_ndarrays):
         pos = _align(pos, 64)
-        tstream = pa.input_stream(pa.py_buffer(buf[pos:]))
+        tstream = pa.input_stream(whole.slice(pos))
         tensor = pa.ipc.read_tensor(tstream)
         ndarrays.append(tensor.to_numpy())
         pos += tstream.tell()
@@ -282,15 +348,13 @@ class LMDBRawStore:
         return [k for k, _ in self.reader.iter_locators()]
 
     def get(self, key):
-        """Decode only the requested record (keys scanned without reading
-        value bytes)."""
+        """Decode only the requested record; O(log n) B-tree descent."""
         if isinstance(key, str):
             key = key.encode("ascii")
-        for k, locator in self.reader.iter_locators():
-            if k == key:
-                return legacy_arrow_deserialize(
-                    self.reader._read_value(locator))
-        raise KeyError(key)
+        locator = self.reader.search(key)
+        if locator is None:
+            raise KeyError(key)
+        return legacy_arrow_deserialize(self.reader._read_value(locator))
 
     def iter_videos(self):
         for _, v in self.reader.items():

@@ -102,6 +102,245 @@ def test_lmdb_reader(lmdb_file):
 
 
 # ---------------------------------------------------------------------------
+# multi-level B-tree fixtures (branch pages, high pgnos, mixed overflow)
+# ---------------------------------------------------------------------------
+
+def _branch_node(key, child_pgno):
+    """Branch node: 48-bit child pgno packed into lo/hi/flags
+    (mdb.c NODEPGNO); node 0 of a page carries an empty key."""
+    lo = child_pgno & 0xFFFF
+    hi = (child_pgno >> 16) & 0xFFFF
+    fl = (child_pgno >> 32) & 0xFFFF
+    return struct.pack("<HHHH", lo, hi, fl, len(key)) + key
+
+
+def _pack_page(pgno, flags, nodes, psize):
+    offsets = []
+    upper = psize
+    for node in nodes:
+        upper -= len(node)
+        upper &= ~1
+        offsets.append(upper)
+    lower = PAGEHDRSZ + 2 * len(nodes)
+    assert lower <= min(offsets), "page overflow"
+    page = bytearray(psize)
+    page[:PAGEHDRSZ] = _page_header(pgno, flags, lower, min(offsets))
+    struct.pack_into("<%dH" % len(nodes), page, PAGEHDRSZ, *offsets)
+    for off, node in zip(offsets, nodes):
+        page[off:off + len(node)] = node
+    return bytes(page)
+
+
+class _EnvBuilder:
+    """Byte-level builder of a multi-level read-only LMDB environment."""
+
+    def __init__(self, psize=4096, first_pgno=2):
+        self.psize = psize
+        self.pages = {}          # pgno -> bytes (may span several pages)
+        self.next_pg = first_pgno
+
+    def _alloc(self, n=1):
+        pg = self.next_pg
+        self.next_pg += n
+        return pg
+
+    def add_overflow(self, data):
+        n_pages = -(-(len(data) + PAGEHDRSZ) // self.psize)
+        pg = self._alloc(n_pages)
+        hdr = struct.pack("<QHHI", pg, 0, 0x04, n_pages)
+        self.pages[pg] = (hdr + data).ljust(n_pages * self.psize, b"\0")
+        return pg
+
+    def build_tree(self, items):
+        """items: sorted (key, value) pairs; values larger than 1/4 page
+        go to overflow pages.  Returns the root pgno."""
+        leaf_limit = self.psize // 4
+        # leaf level
+        level = []  # (first_key, pgno)
+        nodes, first_key, used = [], None, PAGEHDRSZ
+        def flush(nodes_list, fkey):
+            pg = self._alloc()
+            self.pages[pg] = _pack_page(pg, 0x02, nodes_list, self.psize)
+            level.append((fkey, pg))
+        for k, v in items:
+            if len(v) > leaf_limit:
+                ovf = self.add_overflow(v)
+                node = _leaf_node(k, bigdata_pgno=ovf, bigdata_size=len(v))
+            else:
+                node = _leaf_node(k, v)
+            sz = 2 + ((len(node) + 1) & ~1)
+            if nodes and used + sz > self.psize:
+                flush(nodes, first_key)
+                nodes, first_key, used = [], None, PAGEHDRSZ
+            if not nodes:
+                first_key = k
+            nodes.append(node)
+            used += sz
+        if nodes:
+            flush(nodes, first_key)
+        # branch levels
+        while len(level) > 1:
+            children, level = level, []
+            nodes, first_key, used = [], None, PAGEHDRSZ
+            def flush_branch(nodes_list, fkey):
+                pg = self._alloc()
+                self.pages[pg] = _pack_page(pg, 0x01, nodes_list, self.psize)
+                level.append((fkey, pg))
+            for i, (fkey, child_pg) in enumerate(children):
+                key = b"" if not nodes else fkey
+                node = _branch_node(key, child_pg)
+                sz = 2 + ((len(node) + 1) & ~1)
+                if nodes and used + sz > self.psize:
+                    flush_branch(nodes, first_key)
+                    nodes, first_key, used = [], None, PAGEHDRSZ
+                    node = _branch_node(b"", child_pg)
+                    sz = 2 + ((len(node) + 1) & ~1)
+                if not nodes:
+                    first_key = fkey
+                nodes.append(node)
+                used += sz
+            if nodes:
+                flush_branch(nodes, first_key)
+        return level[0][1]
+
+    def write(self, path, root, n_entries):
+        ps = self.psize
+        meta0 = _meta_page_ps(0, 1, root, n_entries, ps, self.next_pg)
+        meta1 = _meta_page_ps(1, 2, root, n_entries, ps, self.next_pg)
+        with open(path, "wb") as f:
+            f.write(meta0 + meta1)
+            for pg in sorted(self.pages):
+                f.seek(pg * ps)
+                f.write(self.pages[pg])
+            end = self.next_pg * ps
+            if f.tell() < end:
+                f.seek(end - 1)
+                f.write(b"\0")
+
+
+def _meta_page_ps(pgno, txnid, main_root, main_entries, psize, last_pg):
+    hdr = _page_header(pgno, 0x08, 0, 0)
+    meta = struct.pack("<II", 0xBEEFC0DE, 1)
+    meta += struct.pack("<QQ", 0, (last_pg + 1) * psize)
+    meta += struct.pack("<IHH", psize, 0, 0) + struct.pack(
+        "<QQQQQ", 0, 0, 0, 0, 0xFFFFFFFFFFFFFFFF)
+    meta += struct.pack("<IHH", 0, 0, 3) + struct.pack(
+        "<QQQQQ", 0, 1, 0, main_entries, main_root)
+    meta += struct.pack("<QQ", last_pg, txnid)
+    return (hdr + meta).ljust(psize, b"\0")
+
+
+def _make_items(n, rng, value_len=24, big_every=0):
+    items = []
+    for i in range(n):
+        k = b"key%08d" % i
+        if big_every and i % big_every == 0:
+            v = bytes(rng.randint(0, 256, 3000, dtype=np.uint8))
+        else:
+            v = bytes(rng.randint(0, 256, value_len, dtype=np.uint8))
+        items.append((k, v))
+    return items
+
+
+def test_multilevel_branch_tree(tmp_path):
+    """>=2 branch levels, hundreds of keys, mixed inline/overflow values:
+    full iteration order + every key found by B-tree descent."""
+    rng = np.random.RandomState(0)
+    items = _make_items(900, rng, big_every=50)
+    b = _EnvBuilder(psize=512)
+    root = b.build_tree(items)
+    d = tmp_path / "env"
+    d.mkdir()
+    b.write(str(d / "data.mdb"), root, len(items))
+
+    r = LMDBReader(str(d))
+    assert r.psize == 512 and r.n_entries == 900
+    got = list(r.items())
+    assert [k for k, _ in got] == [k for k, _ in items]
+    assert dict(got) == dict(items)
+
+    expected = dict(items)
+    for k in (b"key00000000", b"key00000449", b"key00000899",
+              b"key00000050", b"key00000850"):
+        assert r.get(k) == expected[k]
+    assert r.get(b"missing") is None
+    assert r.get(b"key00000899\x00") is None  # past the last key
+    assert r.get(b"") is None                 # before the first key
+    r.close()
+
+
+def test_get_is_logarithmic(tmp_path):
+    """100k keys: a point lookup touches <= tree-depth pages, not O(n)."""
+    rng = np.random.RandomState(1)
+    items = _make_items(100_000, rng, value_len=8)
+    b = _EnvBuilder(psize=512)
+    root = b.build_tree(items)
+    d = tmp_path / "env"
+    d.mkdir()
+    b.write(str(d / "data.mdb"), root, len(items))
+
+    r = LMDBReader(str(d))
+    expected = dict(items)
+    total_pages = (r._mm.size() // 512)
+    lookups = [b"key%08d" % i for i in
+               rng.randint(0, 100_000, 50)]
+    r.pages_read = 0
+    for k in lookups:
+        assert r.get(k) == expected[k]
+    per_get = r.pages_read / len(lookups)
+    # depth of a 100k-entry tree at psize 512 is ~4-5; a linear scan
+    # would touch thousands of pages per lookup
+    assert per_get <= 6, per_get
+    assert total_pages > 2000  # the env is actually big
+    r.close()
+
+
+def test_high_pgno_bit_packing(tmp_path):
+    """Branch-node child pgnos above 2^16 exercise the hi<<16 packing
+    (a sparse file keeps the fixture small on disk)."""
+    rng = np.random.RandomState(2)
+    items = _make_items(300, rng)
+    b = _EnvBuilder(psize=512, first_pgno=70_000)  # > 2^16
+    root = b.build_tree(items)
+    d = tmp_path / "env"
+    d.mkdir()
+    b.write(str(d / "data.mdb"), root, len(items))
+
+    r = LMDBReader(str(d))
+    assert dict(r.items()) == dict(items)
+    assert r.get(b"key%08d" % 123) == dict(items)[b"key%08d" % 123]
+    r.close()
+
+
+def test_store_get_decodes_only_requested_record(tmp_path):
+    """LMDBRawStore.get over a branch tree with legacy-arrow values."""
+    from gesture_generation_from_trimodal_context_tpu.data.lmdb_compat import (
+        LMDBRawStore)
+
+    rng = np.random.RandomState(3)
+    items = []
+    for i in range(40):
+        obj = {"vid": "video_%03d" % i,
+               "clips": [{"skeletons_3d":
+                          rng.randn(6, 10, 3).astype(np.float32),
+                          "start_time": float(i)}]}
+        items.append((b"%010d" % i, _write_legacy_blob(obj)))
+    b = _EnvBuilder(psize=512)
+    root = b.build_tree(items)
+    d = tmp_path / "env"
+    d.mkdir()
+    b.write(str(d / "data.mdb"), root, len(items))
+
+    store = LMDBRawStore(str(d))
+    rec = store.get(b"%010d" % 17)
+    assert rec["vid"] == "video_017"
+    assert rec["clips"][0]["start_time"] == 17.0
+    with pytest.raises(KeyError):
+        store.get(b"nope")
+    store.close()
+
+
+# ---------------------------------------------------------------------------
 
 def _build_union(values, tensors):
     """Recursively encode python values as a dense union array with
@@ -234,3 +473,42 @@ def test_legacy_arrow_roundtrip():
     np.testing.assert_array_equal(clip["audio_raw"], audio)
     assert clip["words"] == [["hello", 0.1, 0.4], ["world", 0.5, 0.9]]
     assert clip["start_frame_no"] == 0 and clip["end_time"] == 4.0
+
+
+def test_convert_tool_on_multilevel_env(tmp_path):
+    """tools/convert_ted_lmdb.py end-to-end on a branch-tree LMDB with
+    TED-shaped legacy-arrow records."""
+    import subprocess
+    import sys as _sys
+    from gesture_generation_from_trimodal_context_tpu.data.storage import (
+        open_raw_store)
+
+    rng = np.random.RandomState(4)
+    items = []
+    for i in range(30):
+        obj = {"vid": "video_%03d" % i,
+               "clips": [{"skeletons_3d":
+                          rng.randn(8, 10, 3).astype(np.float32),
+                          "audio_raw": rng.randn(64).astype(np.float32),
+                          "words": [["hi", 0.0, 0.5]],
+                          "start_frame_no": 0, "end_frame_no": 8,
+                          "start_time": 0.0, "end_time": 0.53}]}
+        items.append((("video_%03d" % i).encode(), _write_legacy_blob(obj)))
+    b = _EnvBuilder(psize=512)
+    root = b.build_tree(items)
+    src = tmp_path / "lmdb_env"
+    src.mkdir()
+    b.write(str(src / "data.mdb"), root, len(items))
+    dst = tmp_path / "ggraw"
+
+    proc = subprocess.run(
+        [_sys.executable, "tools/convert_ted_lmdb.py", str(src), str(dst)],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr
+
+    store = open_raw_store(str(dst))
+    rec = store.get("video_011")
+    assert rec["vid"] == "video_011"
+    np.testing.assert_allclose(rec["clips"][0]["end_time"], 0.53)
+    assert len(list(store.iter_videos())) == 30
+    store.close()
