@@ -28,6 +28,21 @@ N_POSES = 34
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fused", default="true",
+                    help="fused no-grad generator/discriminator forwards "
+                         "(exact math, fewer sequential scan chains)")
+    ap.add_argument("--use_pallas", default="false",
+                    help="Pallas-fused GRU kernels instead of lax.scan")
+    ap.add_argument("--steps_per_call", type=int, default=1,
+                    help="fuse K train steps into one program (amortizes "
+                         "tunnel dispatch latency)")
+    ap.add_argument("--batch", type=int, default=128)
+    cli = ap.parse_args()
+    fused = cli.fused.lower() in ("1", "true", "yes")
+    use_pallas = cli.use_pallas.lower() in ("1", "true", "yes")
+
     import jax
     import __graft_entry__ as ge
     from gesture_generation_from_trimodal_context_tpu.models import factory
@@ -38,13 +53,19 @@ def main():
     from gesture_generation_from_trimodal_context_tpu.parallel import (
         mesh as mesh_lib)
 
-    batch = 128
+    batch = cli.batch
     n_chips = len(jax.devices())
     print("devices: %s" % jax.devices(), file=sys.stderr)
+
+    if use_pallas:
+        from gesture_generation_from_trimodal_context_tpu.ops.recurrent import (
+            set_gru_impl)
+        set_gru_impl("pallas")
 
     args, bundle, lang, spk = ge._flagship(
         hidden_size=300, n_layers=4, n_words=20000, wordembed_dim=300,
         n_speakers=1400)
+    args.fused_gen_forwards = fused
     key = jax.random.PRNGKey(0)
     gvars = factory.generator_init_variables(bundle, args, key, batch)
     dvars = factory.discriminator_init_variables(bundle, args, key, batch)
@@ -73,23 +94,38 @@ def main():
                 gen_state, dis_state, metrics = step(
                     gen_state, dis_state, dbatch,
                     jax.random.fold_in(key, i), train_d=True, add_gan=True)
-            jax.block_until_ready(metrics)
-            return metrics
+            # HARD sync: device_get drains the execution queue.  On the
+            # axon-tunneled TPU, jax.block_until_ready returns before the
+            # remote queue has drained (measured), so timings synced with
+            # it reflect dispatch throughput, not compute.  BENCH_r01 was
+            # recorded with block_until_ready and is therefore inflated;
+            # see RESULTS.md "measurement correction".
+            return float(jax.device_get(metrics["loss"]))
 
         t0 = time.time()
-        run(3)  # warmup + compile
+        loss = run(3)  # warmup + compile
         print("compile+warmup: %.1fs" % (time.time() - t0), file=sys.stderr)
 
-        n_steps = 20
-        t0 = time.time()
-        metrics = run(n_steps)
-        dt = time.time() - t0
+        # slope timing: the difference between a 40-step run and a 10-step
+        # run cancels the fixed per-sync dispatch+transfer overhead of the
+        # tunnel (~30-45 ms) and leaves pure on-device step time
+        def timed(n):
+            t0 = time.time()
+            run(n)
+            return time.time() - t0
 
-    samples_per_sec = batch * n_steps / dt
+        run(5)  # steady state
+        slopes = []
+        for _ in range(2):
+            t_small, t_big = timed(10), timed(40)
+            slopes.append((t_big - t_small) / 30.0)
+        dt_step = min(slopes)
+
+    samples_per_sec = batch / dt_step
     frames_per_sec = samples_per_sec * N_POSES
     frames_per_sec_per_chip = frames_per_sec / max(1, n_chips)
-    print("step time: %.2f ms, loss %.3f" % (
-        dt / n_steps * 1000, float(metrics["loss"])), file=sys.stderr)
+    print("step time: %.2f ms, loss %.3f" % (dt_step * 1000, loss),
+          file=sys.stderr)
 
     print(json.dumps({
         "metric": "multimodal_context train throughput",

@@ -95,9 +95,24 @@ def _tpu_options():
     add = o.append
     add(_Opt("resume_checkpoint", str, ""))    # orbax/msgpack resume path ('' = fresh start, like the reference)
     add(_Opt("dp_devices", int, -1))           # data-parallel mesh size; -1 = all local devices
+    # 'jit' (default): batch sharded over the data mesh, global-batch BN
+    # statistics (documented deviation, parallel/mesh.py).  'shard_map':
+    # explicit-SPMD DataParallel-faithful step — per-shard BN batch stats
+    # and dropout like per-GPU torch replicas, psum'd grads (train/gan.py,
+    # train/embed.py; multimodal_context + embed families only)
+    add(_Opt("dp_strategy", str, "jit"))
+    # embedding tensor parallelism: row-shard (vocab, dim) tables over a
+    # 'model' mesh axis of this size (2-D mesh, requires dp_strategy=jit)
+    add(_Opt("tp_devices", int, 1))
     add(_Opt("use_pallas", str2bool, False))   # Pallas-fused GRU kernels on TPU
     add(_Opt("prefetch_batches", int, 2))      # host->device prefetch depth
     add(_Opt("steps_per_call", int, 1))        # train steps fused per jit call (lax.scan over microbatches)
+    # DOCUMENTED DEVIATION: batches the adversarial step's no-grad
+    # generator forwards (D-step fake + diversity-regularizer draw) and the
+    # D-step's real/fake discriminator forwards; identical loss math but
+    # BatchNorm running stats update once on the combined batch instead of
+    # sequentially per forward (train/gan.py fused_step_body)
+    add(_Opt("fused_gen_forwards", str2bool, False))
     add(_Opt("deterministic_tb_dir", str2bool, False))  # stable tensorboard dir name (tests)
     return o
 

@@ -48,16 +48,30 @@ class EmbeddingSpaceEvaluator:
 
     def push_samples(self, context_text, context_spec, generated_poses,
                      real_poses):
+        """Embed one batch.  Results stay ON DEVICE — no host sync here;
+        the sync happens once per eval pass in _materialize() (the
+        reference syncs per batch, train.py:288-290)."""
         real_feat, recon_real = self._embed(self.net_vars, real_poses)
         gen_feat, recon_fake = self._embed(self.net_vars, generated_poses)
-        self.real_feat_list.append(np.asarray(real_feat))
-        self.generated_feat_list.append(np.asarray(gen_feat))
-        self.recon_err_diff.append(float(recon_fake) - float(recon_real))
+        self.real_feat_list.append(real_feat)
+        self.generated_feat_list.append(gen_feat)
+        self.recon_err_diff.append((recon_fake, recon_real))
+
+    def _materialize(self):
+        """One device->host transfer for everything accumulated
+        (idempotent)."""
+        self.real_feat_list, self.generated_feat_list, diffs = \
+            jax.device_get((self.real_feat_list, self.generated_feat_list,
+                            self.recon_err_diff))
+        self.recon_err_diff = [
+            float(d[0]) - float(d[1]) if isinstance(d, tuple) else d
+            for d in diffs]
 
     def get_features_for_viz(self):
         """2-D projection of real vs generated latents
         (reference embedding_space_evaluator.py:63-72).  Uses UMAP when
         importable, else a PCA fallback."""
+        self._materialize()
         generated_feats = np.vstack(self.generated_feat_list)
         real_feats = np.vstack(self.real_feat_list)
         both = np.vstack((generated_feats, real_feats))
@@ -72,6 +86,7 @@ class EmbeddingSpaceEvaluator:
         return transformed[n:], transformed[:n]  # (real, generated)
 
     def get_scores(self):
+        self._materialize()
         generated_feats = np.vstack(self.generated_feat_list)
         real_feats = np.vstack(self.real_feat_list)
 

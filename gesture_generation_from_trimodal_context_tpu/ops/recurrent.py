@@ -83,6 +83,55 @@ def gru_scan(wi, bi, wh, bh, x, h0, reverse=False):
     return jnp.swapaxes(ys, 0, 1), h_last
 
 
+def gru_bidir_scan(params_f, params_b, x, h0_f, h0_b):
+    """Both directions of one bidirectional GRU layer in a SINGLE
+    lax.scan (exact math, not an approximation).
+
+    The two directions are independent recurrences, so step t of the
+    forward chain and step T-1-t of the backward chain can execute in the
+    same scan iteration: the hidden states are stacked on the batch axis
+    and the per-step recurrent matmul becomes (2B, H) @ (H, 3H) — twice
+    the MXU work per step and HALF the number of sequential scan chains
+    versus running two scans (the chains of separate scans serialize in
+    program order).  Weight matrices differ per direction, so the matmul
+    is block-batched via einsum over a leading direction axis.
+
+    Returns (out (B, T, 2H) [fwd||bwd, torch concat order], (hT_f, hT_b)).
+    """
+    wi_f, bi_f, wh_f, bh_f = params_f
+    wi_b, bi_b, wh_b, bh_b = params_b
+    h_size = h0_f.shape[-1]
+
+    # hoisted input projections (big MXU matmuls, outside the recurrence)
+    xp_f = jnp.einsum("bti,gi->btg", x, wi_f) + bi_f    # (B, T, 3H)
+    xp_b = jnp.einsum("bti,gi->btg", x, wi_b) + bi_b
+    xp_f = jnp.swapaxes(xp_f, 0, 1)                     # (T, B, 3H)
+    xp_b = jnp.swapaxes(xp_b, 0, 1)[::-1]               # reversed time
+    xp = jnp.stack([xp_f, xp_b], axis=1)                # (T, 2, B, 3H)
+
+    wh = jnp.stack([wh_f, wh_b])                        # (2, 3H, H)
+    bh = jnp.stack([bh_f, bh_b])                        # (2, 3H)
+    h0 = jnp.stack([h0_f, h0_b])                        # (2, B, H)
+
+    def step(h, xt):
+        # h: (2, B, H); xt: (2, B, 3H)
+        hp = jnp.einsum("dbh,dgh->dbg", h, wh) + bh[:, None, :]
+        xr, xz, xn = (xt[..., :h_size], xt[..., h_size:2 * h_size],
+                      xt[..., 2 * h_size:])
+        hr, hz, hn = (hp[..., :h_size], hp[..., h_size:2 * h_size],
+                      hp[..., 2 * h_size:])
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    h_last, ys = jax.lax.scan(step, h0, xp)             # ys: (T, 2, B, H)
+    out_f = jnp.swapaxes(ys[:, 0], 0, 1)                # (B, T, H)
+    out_b = jnp.swapaxes(ys[::-1, 1], 0, 1)             # re-reverse
+    return jnp.concatenate([out_f, out_b], -1), (h_last[0], h_last[1])
+
+
 class GRU(nn.Module):
     """Stacked (bi)directional GRU, torch.nn.GRU-compatible semantics.
 
@@ -122,6 +171,12 @@ class GRU(nn.Module):
                 # both directions in ONE fused kernel launch
                 from .pallas_gru import pallas_bigru
                 layer_in, (ht_f, ht_b) = pallas_bigru(
+                    dir_params[0], dir_params[1], layer_in,
+                    h0[layer * 2], h0[layer * 2 + 1])
+                h_finals.extend([ht_f, ht_b])
+            elif num_dir == 2:
+                # both directions in ONE scan (half the sequential chains)
+                layer_in, (ht_f, ht_b) = gru_bidir_scan(
                     dir_params[0], dir_params[1], layer_in,
                     h0[layer * 2], h0[layer * 2 + 1])
                 h_finals.extend([ht_f, ht_b])

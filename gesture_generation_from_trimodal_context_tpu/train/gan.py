@@ -59,6 +59,152 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
         rngs = split_rngs(rng, ("dropout",))
         return apply_net(dis, params, bstats, poses, train=True, rngs=rngs)
 
+    def _chain_updates(s0, r_once, n):
+        """Exact running-stat chain for n sequential BN updates that all
+        see the SAME batch statistics b, given one observed update
+        r_once = m*s0 + (1-m)*b: iterating s <- m*s + (1-m)*b n times.
+        Every BatchNorm in the generator sits in the WavEncoder and sees
+        the identical raw-audio batch on each of the step's forwards, so
+        this reproduces the reference's sequential-update bookkeeping
+        bit-for-math (momentum m = 0.9, ops/layers.py)."""
+        def leaf(s, r):
+            b_term = r - 0.9 * s          # == (1-m) * b
+            out = s
+            for _ in range(n):
+                out = 0.9 * out + b_term
+            return out
+        return jax.tree_util.tree_map(leaf, s0, r_once)
+
+    def fused_step_body(gen_state: NetState, dis_state: NetState, batch,
+                        rng, train_d: bool, add_gan: bool):
+        """Fused variant (--fused_gen_forwards): the two NO-GRAD generator
+        forwards (the D-step's fake and the diversity regularizer's
+        shuffled-speaker draw) run as ONE 2B-batched forward, and the
+        D-step's real/fake discriminator forwards run as ONE vmapped
+        forward.  The differentiable G-step forward stays at batch B so
+        the backward pass does not grow.  (Folding ALL THREE generator
+        forwards into the differentiated forward was measured SLOWER —
+        3.17 ms vs 2.17 ms per step on a v5e chip — because the tripled
+        backward over the GRU scans outweighs the saved forward chains;
+        see RESULTS.md.)
+
+        Numerically this matches the faithful path exactly (reference
+        train_gan.py:27-84) up to RNG stream assignment:
+        - generator train-mode BN normalization is unchanged because its
+          BN layers (WavEncoder) see the same duplicated audio batch, and
+          the running-stat chain is reconstructed exactly (_chain_updates);
+        - the discriminator runs real and fake as separate vmap slices, so
+          each keeps its own batch statistics like the reference's two
+          forwards, and the stat chain is recombined exactly.
+        Win: ~1/3 fewer sequential GRU scan chains per iteration
+        (measured 2.42 -> 2.17 ms/step at the published recipe)."""
+        in_text = batch["in_text"]
+        in_audio = batch["in_audio"]
+        target = batch["target_vec"]
+        vids = batch.get("vid_indices")
+
+        pre_seq = build_pre_seq(target, n_pre)
+        metrics = {}
+        r = jax.random.split(rng, 6)
+        gen_bs = gen_state.batch_stats
+        use_div = z_type in ("speaker", "random") and w_reg > 0.0
+
+        # ---- one batched no-grad generator forward ----
+        fake = out_rand = z_rand = None
+        if train_d or use_div:
+            n_rep = int(train_d) + int(use_div)
+            vid_parts = []
+            if train_d and vids is not None:
+                vid_parts.append(vids)
+            if use_div and z_type == "speaker":
+                rand_vids = batch.get("rand_vids")
+                if rand_vids is None:
+                    rand_vids = jax.random.permutation(r[5], vids)
+                vid_parts.append(rand_vids)
+            cat = lambda x: jnp.concatenate([x] * n_rep, 0)
+            big_vids = jnp.concatenate(vid_parts, 0) if vid_parts else None
+            (big_out, big_z, *_), r_big = gen_fwd(
+                gen_state.params, gen_bs, cat(pre_seq), cat(in_text),
+                cat(in_audio), big_vids, r[0])
+            # exact sequential running-stat bookkeeping for the n_rep
+            # faithful forwards this fused call replaces
+            gen_bs = _chain_updates(gen_bs, r_big, n_rep)
+            big_out = jax.lax.stop_gradient(big_out)
+            big_z = jax.lax.stop_gradient(big_z) if big_z is not None \
+                else None
+            B = target.shape[0]
+            parts = [big_out[i * B:(i + 1) * B] for i in range(n_rep)]
+            if train_d:
+                fake = parts.pop(0)
+            if use_div:
+                out_rand = parts.pop(0)
+                z_rand = big_z[-B:] if big_z is not None else None
+
+        # ---- D step: real and fake as vmap slices of ONE forward (each
+        # slice keeps its own batch statistics, like the reference's two
+        # separate forwards; the recurrent matmuls batch on the MXU) ----
+        if train_d:
+            def d_loss_fn(d_params):
+                both = jnp.stack([target, fake])          # (2, B, T, D)
+                d_both, bs2 = jax.vmap(
+                    lambda poses, k: dis_fwd(d_params, dis_state.batch_stats,
+                                             poses, k))(
+                    both, jnp.stack([r[1], r[2]]))
+                loss = -jnp.mean(jnp.log(d_both[0] + EPS)
+                                 + jnp.log(1.0 - d_both[1] + EPS))
+                # exact chain: r_slice = m*s0 + (1-m)*b_slice  =>
+                # s2 = m*r_real + (r_fake - m*s0)
+                s0 = dis_state.batch_stats
+                bs = jax.tree_util.tree_map(
+                    lambda s, rr: 0.9 * rr[0] + (rr[1] - 0.9 * s), s0, bs2)
+                return loss, bs
+            (d_loss, d_bs), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(dis_state.params)
+            dis_state = apply_grads(dis_state, dis_tx,
+                                    reduce_grads(d_grads), d_bs)
+            metrics["dis"] = d_loss
+
+        # ---- G step (single differentiable forward at batch B) ----
+        def g_loss_fn(g_params):
+            (out, z, z_mu, z_logvar), g_bs = gen_fwd(
+                g_params, gen_bs, pre_seq, in_text, in_audio, vids, r[3])
+            huber = smooth_l1(out, target, beta=0.1)
+            d_out, d_bs = dis_fwd(dis_state.params, dis_state.batch_stats,
+                                  out, r[4])
+            gen_err = -jnp.mean(jnp.log(d_out + EPS))
+
+            aux_metrics = {"loss": w_rg * huber}
+            loss = w_rg * huber
+            if use_div:
+                pose_l1 = smooth_l1_none(out, out_rand, beta=0.05)
+                pose_l1 = pose_l1.sum(axis=1).sum(axis=1)
+                pose_l1 = pose_l1.reshape(pose_l1.shape[0], -1).mean(axis=1)
+                z_l1 = jnp.abs(jax.lax.stop_gradient(z) - z_rand)
+                z_l1 = z_l1.reshape(z_l1.shape[0], -1).mean(axis=1)
+                div_reg = -(pose_l1 / (z_l1 + 1.0e-5))
+                div_reg = jnp.clip(div_reg, -1000.0, None).mean()
+                aux_metrics["DIV_REG"] = w_reg * div_reg
+                if z_type == "speaker":
+                    kld = -0.5 * jnp.mean(1 + z_logvar - z_mu ** 2
+                                          - jnp.exp(z_logvar))
+                    aux_metrics["KLD"] = w_kld * kld
+                    loss = loss + w_kld * kld + w_reg * div_reg
+                else:
+                    loss = loss + w_reg * div_reg
+            if add_gan:
+                loss = loss + w_gan * gen_err
+                aux_metrics["gen"] = w_gan * gen_err
+            return loss, (g_bs, d_bs, aux_metrics)
+
+        (_, (g_bs, d_bs, g_metrics)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(gen_state.params)
+        gen_state = apply_grads(gen_state, gen_tx,
+                                reduce_grads(g_grads), g_bs)
+        # the reference's D also sees the G-step forward in train mode
+        dis_state = dis_state.replace(batch_stats=d_bs)
+        metrics.update(g_metrics)
+        return gen_state, dis_state, metrics
+
     def step_body(gen_state: NetState, dis_state: NetState, batch, rng,
                   train_d: bool, add_gan: bool):
         in_text = batch["in_text"]
@@ -151,9 +297,11 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
         metrics.update(g_metrics)
         return gen_state, dis_state, metrics
 
-    step = jax.jit(step_body, static_argnames=("train_d", "add_gan"),
+    body = fused_step_body if getattr(args, "fused_gen_forwards", False) \
+        else step_body
+    step = jax.jit(body, static_argnames=("train_d", "add_gan"),
                    donate_argnames=("gen_state", "dis_state"))
-    step.body = step_body
+    step.body = body
     return step, gen_tx, dis_tx
 
 

@@ -81,9 +81,31 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
         from ..ops.recurrent import set_gru_impl
         set_gru_impl("pallas")
 
-    # model + mesh
+    # mesh strategy validation first (before any model building)
+    dp_strategy = getattr(args, "dp_strategy", "jit") or "jit"
+    tp_devices = max(1, getattr(args, "tp_devices", 1) or 1)
+    if dp_strategy not in ("jit", "shard_map"):
+        raise ValueError("dp_strategy must be jit or shard_map, got %r"
+                         % dp_strategy)
+    if dp_strategy == "shard_map" and tp_devices > 1:
+        raise ValueError("dp_strategy=shard_map is the DataParallel-"
+                         "faithful pure-DP path; combine tensor "
+                         "parallelism (--tp_devices) with dp_strategy=jit")
+
+    # model + mesh (SURVEY.md §5: 1-D data mesh by default; optional 2-D
+    # data x model mesh for embedding tensor parallelism)
     bundle = factory.init_model(args, lang_model, speaker_model, pose_dim)
-    mesh = device_mesh or mesh_lib.get_mesh(getattr(args, "dp_devices", -1))
+    if device_mesh is not None:
+        mesh = device_mesh
+    elif tp_devices > 1:
+        from ..parallel import sharding_rules
+        dp = getattr(args, "dp_devices", -1)
+        if dp is None or dp <= 0:
+            dp = max(1, len(jax.devices()) // tp_devices)
+        mesh = sharding_rules.get_mesh_2d(dp, tp_devices)
+        logging.info("2-D mesh: %d data x %d model", dp, tp_devices)
+    else:
+        mesh = mesh_lib.get_mesh(getattr(args, "dp_devices", -1))
     seed = args.random_seed if args.random_seed >= 0 else \
         np.random.randint(0, 2 ** 31 - 1)
     root_rng = jax.random.PRNGKey(seed)
@@ -110,17 +132,38 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
     dis_state = None
     steps_per_call = max(1, getattr(args, "steps_per_call", 1))
     multi_step_fn = None
+    use_shard_map = dp_strategy == "shard_map"
+    if use_shard_map and model in ("seq2seq", "speech2gesture"):
+        logging.warning("dp_strategy=shard_map has no %s variant; the jit "
+                        "path (global-batch BN stats) is used instead",
+                        model)
+        use_shard_map = False
     if model == "multimodal_context":
-        step_fn, gen_tx, dis_tx = make_gan_train_step(bundle, args)
+        if use_shard_map:
+            # DataParallel-faithful per-shard BN/dropout (train/gan.py)
+            from .gan import make_gan_train_step_shardmap
+            step_fn, gen_tx, dis_tx = make_gan_train_step_shardmap(
+                bundle, args, mesh)
+        else:
+            step_fn, gen_tx, dis_tx = make_gan_train_step(bundle, args)
         if steps_per_call > 1:
-            from .gan import make_gan_multi_step
-            multi_step_fn, _, _ = make_gan_multi_step(bundle, args,
-                                                      steps_per_call)
+            if use_shard_map:
+                logging.warning("steps_per_call>1 is a jit-path feature; "
+                                "running shard_map steps one at a time")
+            else:
+                from .gan import make_gan_multi_step
+                multi_step_fn, _, _ = make_gan_multi_step(bundle, args,
+                                                          steps_per_call)
         gen_state = make_net_state(gvars, gen_tx)
         dis_state = make_net_state(dvars, dis_tx)
     elif model in ("joint_embedding", "gesture_autoencoder"):
         mode = "random" if model == "joint_embedding" else None
-        step_fn, gen_tx = make_embed_train_step(bundle, args, mode=mode)
+        if use_shard_map:
+            from .embed import make_embed_train_step_shardmap
+            step_fn, gen_tx = make_embed_train_step_shardmap(
+                bundle, args, mesh, mode=mode)
+        else:
+            step_fn, gen_tx = make_embed_train_step(bundle, args, mode=mode)
         gen_state = make_net_state(gvars, gen_tx)
     elif model == "seq2seq":
         step_fn, gen_tx = make_seq2seq_train_step(bundle, args)
@@ -167,9 +210,17 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
         logging.info("resumed from %s at epoch %d", resume_path, start_epoch)
 
     with mesh:
-        gen_state = mesh_lib.replicate(gen_state, mesh)
-        if dis_state is not None:
-            dis_state = mesh_lib.replicate(dis_state, mesh)
+        if tp_devices > 1:
+            # embedding tensor parallelism: large (vocab, dim) tables
+            # row-shard over 'model'; XLA all-gathers looked-up rows on ICI
+            from ..parallel import sharding_rules
+            gen_state = sharding_rules.shard_state(gen_state, mesh)
+            if dis_state is not None:
+                dis_state = sharding_rules.shard_state(dis_state, mesh)
+        else:
+            gen_state = mesh_lib.replicate(gen_state, mesh)
+            if dis_state is not None:
+                dis_state = mesh_lib.replicate(dis_state, mesh)
 
         global_iter = start_epoch * len(train_loader)
         best_values = {}
@@ -388,6 +439,10 @@ def evaluate_testset(test_loader, gen_vars, eval_step, bundle, args,
     accel = AverageMeter("accel")
     start = time.time()
 
+    # per-batch metrics stay on device; ONE host sync per eval pass at the
+    # end (the train loop got this treatment in round 1, the eval loop
+    # synced float(loss) every batch)
+    pending = []  # (batch_size, loss, mae, acc) with device scalars
     for i, batch in enumerate(test_loader):
         batch_size = batch["target_vec"].shape[0]
         vids = None
@@ -398,12 +453,18 @@ def evaluate_testset(test_loader, gen_vars, eval_step, bundle, args,
         rng = jax.random.fold_in(root_rng, 777_000 + i)
 
         loss, out, mae, acc = eval_step(gen_vars, dbatch, dvids, rng)
+        if bundle.model_name != "gesture_autoencoder" and \
+                embed_space_evaluator:
+            # feature embedding also stays on device (evaluator syncs
+            # once in get_scores)
+            embed_space_evaluator.push_samples(
+                dbatch.get("in_text"), dbatch.get("in_audio"), out,
+                dbatch["target_vec"])
+        pending.append((batch_size, loss, mae, acc))
+
+    for batch_size, loss, mae, acc in jax.device_get(pending):
         losses.update(float(loss), batch_size)
         if bundle.model_name != "gesture_autoencoder":
-            if embed_space_evaluator:
-                embed_space_evaluator.push_samples(
-                    dbatch.get("in_text"), dbatch.get("in_audio"), out,
-                    dbatch["target_vec"])
             joint_mae.update(float(mae), batch_size)
             accel.update(float(acc), batch_size)
 
@@ -459,13 +520,29 @@ def evaluate_sample_and_save_video(epoch, prefix, test_loader, gen_vars,
         save_dir = save_path or args.model_save_path
         os.makedirs(save_dir, exist_ok=True)
         audio = one.get("in_audio")
+        audio_npy = np.asarray(audio[0]) if audio is not None else None
+
+        # time-range overlay (reference train.py:376-380)
+        aux_str = None
+        if "aux_vids" in one and "aux_times" in one:
+            t0, t1 = (float(x) for x in np.asarray(one["aux_times"])[0])
+            aux_str = "({}, time: {}-{})".format(
+                one["aux_vids"][0],
+                str(datetime.timedelta(seconds=t0)),
+                str(datetime.timedelta(seconds=t1)))
+
         create_video_and_save(
             save_dir, epoch, prefix, iter_idx, target, out_vec, mean_data,
-            sentence, audio=np.asarray(audio[0]) if audio is not None
-            else None)
+            sentence, audio=audio_npy, aux_str=aux_str)
+        # artifact contract (reference train.py:415-423): dir-vecs as
+        # (T, 9, 3) + mean, plus audio and the aux string
         out_raw.append({
             "sentence": sentence,
-            "out_dir_vec": out_vec + mean_data.flatten(),
-            "human_dir_vec": target + mean_data.flatten(),
+            "audio": audio_npy,
+            "human_dir_vec": target.reshape(target.shape[0], -1, 3)
+            + mean_data,
+            "out_dir_vec": out_vec.reshape(out_vec.shape[0], -1, 3)
+            + mean_data,
+            "aux_info": aux_str,
         })
     return out_raw

@@ -48,7 +48,8 @@ TEXT_EXAMPLES = [
 ]
 
 
-def main(mode, checkpoint_path, option, data_base="data/ted_dataset"):
+def main(mode, checkpoint_path, option, data_base="data/ted_dataset",
+         text=None):
     args, bundle, gen_vars, lang_model, speaker_model, pose_dim = \
         ckpt_lib.load_checkpoint_and_model(checkpoint_path,
                                            jax.random.PRNGKey(0))
@@ -93,19 +94,25 @@ def main(mode, checkpoint_path, option, data_base="data/ted_dataset"):
                                                      "n_words") else None
         tts = TTSHelper(cache_path="output/cached_wav")
 
-        for i, example in enumerate(TEXT_EXAMPLES):
-            print("(%d) %s" % (i, example))
-        try:
-            select = int(input("select: "))
-        except ValueError:
-            return
-        if select == len(TEXT_EXAMPLES) - 1:
-            input_text = input("text: ")
-        elif select >= len(TEXT_EXAMPLES) or select < 0:
-            print("Please input a valid number. Exiting...")
-            return
+        if text is not None:
+            # non-interactive scripted path (--text "..."), stdin-free
+            if not text.strip():
+                raise SystemExit("--text requires a non-empty sentence")
+            input_text = text
         else:
-            input_text = TEXT_EXAMPLES[select]
+            for i, example in enumerate(TEXT_EXAMPLES):
+                print("(%d) %s" % (i, example))
+            try:
+                select = int(input("select: "))
+            except ValueError:
+                return
+            if select == len(TEXT_EXAMPLES) - 1:
+                input_text = input("text: ")
+            elif select >= len(TEXT_EXAMPLES) or select < 0:
+                print("Please input a valid number. Exiting...")
+                return
+            else:
+                input_text = TEXT_EXAMPLES[select]
 
         text_without_tags = remove_tags_marks(input_text)
         print(text_without_tags)
@@ -214,8 +221,22 @@ def main(mode, checkpoint_path, option, data_base="data/ted_dataset"):
 
 
 if __name__ == "__main__":
-    mode_arg = sys.argv[1]
-    ckpt_arg = sys.argv[2]
-    option_arg = sys.argv[3] if len(sys.argv) > 3 else None
+    # reference CLI: synthesize.py {eval,from_db_clip,from_text} <ckpt>
+    # [option]; beyond-reference: --text "..." makes from_text
+    # non-interactive (stdin-free, for scripted use)
+    argv = list(sys.argv[1:])
+    text_arg = None
+    for i, a in enumerate(argv):
+        if a == "--text" and i + 1 < len(argv):
+            text_arg = argv[i + 1]
+            del argv[i:i + 2]
+            break
+        if a.startswith("--text="):
+            text_arg = a[len("--text="):]
+            del argv[i]
+            break
+    mode_arg = argv[0]
+    ckpt_arg = argv[1]
+    option_arg = argv[2] if len(argv) > 2 else None
     set_logger()
-    main(mode_arg, ckpt_arg, option_arg)
+    main(mode_arg, ckpt_arg, option_arg, text=text_arg)

@@ -40,3 +40,74 @@ def test_train_cli_gesture_autoencoder(tmp_path, monkeypatch):
     assert ckpt.exists()
     # vocab cache written next to the data (reference train.py:490)
     assert (base / "vocab_cache.pkl").exists()
+
+
+def _mmc_args(tmp_path, base, extra):
+    return cfg.parse_args([
+        "--config", _cfg("multimodal_context.yml"),
+        "--train_data_path", str(base / "lmdb_train"),
+        "--val_data_path", str(base / "lmdb_val"),
+        "--test_data_path", str(base / "lmdb_test"),
+        "--model_save_path", str(tmp_path / "out"),
+        "--wordembed_path", "", "--wordembed_dim", "16",
+        "--hidden_size", "32", "--n_layers", "2",
+        "--batch_size", "8", "--epochs", "1", "--loss_warmup", "-1",
+        "--random_seed", "5", "--save_result_video", "false",
+        "--prefetch_batches", "0", "--eval_net_path", ""] + extra)
+
+
+@pytest.mark.parametrize("strategy", ["jit", "shard_map"])
+def test_train_cli_dp_strategy(tmp_path, strategy):
+    """The flagship model trains one epoch through the CLI driver on the
+    8-virtual-device mesh under BOTH data-parallel strategies: 'jit'
+    (global-batch BN) and 'shard_map' (DataParallel-faithful per-shard
+    BN, psum'd grads)."""
+    base = tmp_path / "data" / "ted_dataset"
+    for split in ("lmdb_train", "lmdb_val", "lmdb_test"):
+        synthetic.make_synthetic_raw_store(str(base / split), n_videos=2,
+                                           clips_per_video=1,
+                                           clip_duration_s=8.0,
+                                           seed=hash(split) % 89)
+    args = _mmc_args(tmp_path, base, ["--dp_strategy", strategy])
+    train_cli.main(args)
+    assert (tmp_path / "out" /
+            "multimodal_context_checkpoint_best.bin").exists()
+
+
+def test_train_cli_embedding_tensor_parallel(tmp_path):
+    """--tp_devices 2: 2-D (data x model) mesh through the CLI driver;
+    the word-embedding table must come out row-sharded over 'model'."""
+    import jax
+    from gesture_generation_from_trimodal_context_tpu.data.vocab import Vocab
+
+    base = tmp_path / "data" / "ted_dataset"
+    for split in ("lmdb_train", "lmdb_val", "lmdb_test"):
+        synthetic.make_synthetic_raw_store(str(base / split), n_videos=2,
+                                           clips_per_video=1,
+                                           clip_duration_s=8.0,
+                                           seed=hash(split) % 83)
+    # a vocab large enough to trigger the TP sharding rule (>=1024 rows,
+    # divisible by the model axis)
+    lang = Vocab("words")
+    for i in range(2048 - 4):
+        lang.index_word("w%04d" % i)
+    lang.load_word_vectors("", 16)
+    import pickle
+    with open(base / "vocab_cache.pkl", "wb") as f:
+        pickle.dump(lang, f)
+
+    args = _mmc_args(tmp_path, base,
+                     ["--tp_devices", "2", "--dp_devices", "4"])
+    train_cli.main(args)
+    assert (tmp_path / "out" /
+            "multimodal_context_checkpoint_best.bin").exists()
+
+
+def test_shard_map_with_tp_rejected(tmp_path):
+    from types import SimpleNamespace
+    from gesture_generation_from_trimodal_context_tpu.train.loops import (
+        train_epochs)
+    args = _mmc_args(tmp_path, tmp_path, ["--dp_strategy", "shard_map",
+                                          "--tp_devices", "2"])
+    with pytest.raises(ValueError, match="shard_map"):
+        train_epochs(args, [], [], None, 27)

@@ -173,3 +173,136 @@ def test_s2g_train_step(rng):
                                    jax.random.PRNGKey(1))
     for k in ("loss", "gen", "dis"):
         assert np.isfinite(float(m[k])), k
+
+
+def test_fused_gan_step_matches_faithful_exactly():
+    """--fused_gen_forwards: with z_type='none' and dropout off the fused
+    step consumes identical RNG streams, so losses, updated params, and
+    the BN running-stat chains must match the faithful step (up to
+    float-op reordering of the vmapped/batched matmuls; one Adam step
+    amplifies ulp noise, hence the 1e-4 param tolerance)."""
+    import copy
+    from types import SimpleNamespace
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gesture_generation_from_trimodal_context_tpu.models import factory
+    from gesture_generation_from_trimodal_context_tpu.train.gan import (
+        make_gan_train_step)
+    from gesture_generation_from_trimodal_context_tpu.train.state import (
+        make_net_state)
+    from gesture_generation_from_trimodal_context_tpu.data.vocab import Vocab
+
+    lang = Vocab("w")
+    for w in ("alpha", "beta", "gamma"):
+        lang.index_word(w)
+
+    def mk_args(fused):
+        return SimpleNamespace(
+            model="multimodal_context", n_poses=34, n_pre_poses=4,
+            hidden_size=24, n_layers=2, dropout_prob=0.0,
+            input_context="both", freeze_wordembed=False, wordembed_dim=16,
+            motion_resampling_framerate=15, z_type="none",
+            learning_rate=5e-4, discriminator_lr_weight=0.2,
+            loss_regression_weight=500.0, loss_gan_weight=5.0,
+            loss_kld_weight=0.1, loss_reg_weight=0.05, loss_warmup=0,
+            fused_gen_forwards=fused)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "in_text": jnp.asarray(rng.randint(0, lang.n_words, (4, 34)),
+                               jnp.int32),
+        "in_audio": jnp.asarray(0.1 * rng.randn(4, 36267), jnp.float32),
+        "target_vec": jnp.asarray(0.1 * rng.randn(4, 34, 27), jnp.float32),
+    }
+
+    results = []
+    for fused in (False, True):
+        args = mk_args(fused)
+        bundle = factory.init_model(args, lang, None, 27)
+        gvars = factory.generator_init_variables(bundle, args,
+                                                 jax.random.PRNGKey(7), 2)
+        dvars = factory.discriminator_init_variables(bundle, args,
+                                                     jax.random.PRNGKey(7), 2)
+        step, gen_tx, dis_tx = make_gan_train_step(bundle, args)
+        gen_state = make_net_state(copy.deepcopy(gvars), gen_tx)
+        dis_state = make_net_state(copy.deepcopy(dvars), dis_tx)
+        gen_state, dis_state, metrics = step(
+            gen_state, dis_state, batch, jax.random.PRNGKey(13),
+            train_d=True, add_gan=True)
+        results.append((gen_state, dis_state, metrics))
+
+    (g0, d0, m0), (g1, d1, m1) = results
+    assert set(m0) == set(m1)
+    for k in m0:
+        np.testing.assert_allclose(np.asarray(m0[k]), np.asarray(m1[k]),
+                                   rtol=3e-4, atol=1e-5, err_msg=k)
+    for name, atol, t0, t1 in (
+            # one Adam step moves a weight by up to ~lr regardless of gradient
+            # magnitude, so a low-bit gradient difference (float-op
+            # reordering in the batched forward) can shift single params
+            # by O(lr)=5e-4; tolerance = a few Adam quanta
+            ("gen_params", 2e-3, g0.params, g1.params),
+            ("gen_bn", 1e-4, g0.batch_stats, g1.batch_stats),
+            ("dis_params", 2e-3, d0.params, d1.params),
+            ("dis_bn", 1e-4, d0.batch_stats, d1.batch_stats)):
+        jax.tree_util.tree_map(
+            lambda a, b, _atol=atol, _n=name: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=_atol, err_msg=_n),
+            t0, t1)
+
+
+def test_fused_gan_step_speaker_z_runs():
+    """fused path with z_type='speaker': different RNG streams than the
+    faithful path (documented), but must train with finite metrics and
+    the same metric keys."""
+    from types import SimpleNamespace
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gesture_generation_from_trimodal_context_tpu.models import factory
+    from gesture_generation_from_trimodal_context_tpu.train.gan import (
+        make_gan_train_step)
+    from gesture_generation_from_trimodal_context_tpu.train.state import (
+        make_net_state)
+    from gesture_generation_from_trimodal_context_tpu.data.vocab import Vocab
+
+    lang = Vocab("w")
+    for w in ("alpha", "beta"):
+        lang.index_word(w)
+    spk = Vocab("v", insert_default_tokens=False)
+    for i in range(4):
+        spk.index_word("vid%d" % i)
+
+    args = SimpleNamespace(
+        model="multimodal_context", n_poses=34, n_pre_poses=4,
+        hidden_size=24, n_layers=2, dropout_prob=0.3,
+        input_context="both", freeze_wordembed=False, wordembed_dim=16,
+        motion_resampling_framerate=15, z_type="speaker",
+        learning_rate=5e-4, discriminator_lr_weight=0.2,
+        loss_regression_weight=500.0, loss_gan_weight=5.0,
+        loss_kld_weight=0.1, loss_reg_weight=0.05, loss_warmup=0,
+        fused_gen_forwards=True)
+    bundle = factory.init_model(args, lang, spk, 27)
+    gvars = factory.generator_init_variables(bundle, args,
+                                             jax.random.PRNGKey(0), 2)
+    dvars = factory.discriminator_init_variables(bundle, args,
+                                                 jax.random.PRNGKey(0), 2)
+    step, gen_tx, dis_tx = make_gan_train_step(bundle, args)
+    gen_state = make_net_state(gvars, gen_tx)
+    dis_state = make_net_state(dvars, dis_tx)
+
+    rng = np.random.RandomState(1)
+    batch = {
+        "in_text": jnp.asarray(rng.randint(0, lang.n_words, (4, 34)),
+                               jnp.int32),
+        "in_audio": jnp.asarray(0.1 * rng.randn(4, 36267), jnp.float32),
+        "target_vec": jnp.asarray(0.1 * rng.randn(4, 34, 27), jnp.float32),
+        "vid_indices": jnp.asarray(rng.randint(0, 4, (4,)), jnp.int32),
+    }
+    gen_state, dis_state, metrics = step(gen_state, dis_state, batch,
+                                         jax.random.PRNGKey(3),
+                                         train_d=True, add_gan=True)
+    assert {"loss", "gen", "dis", "KLD", "DIV_REG"} <= set(metrics)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
