@@ -183,16 +183,24 @@ class SpeechMotionDataset:
 
 
 class BatchIterator:
-    """Shuffling, remainder-dropping, prefetching batch source."""
+    """Shuffling, remainder-dropping, prefetching batch source.
+
+    ``workers`` > 1 assembles batches on a thread pool: the heavy work
+    (native memmap gathers, word scatter, numpy pads) runs with the GIL
+    released (ctypes calls / numpy bulk ops), so threads scale nearly
+    linearly — this is the multi-chip host-feed path (a v5e-8 host must
+    assemble ~8x faster than one chip consumes).  Batches are emitted in
+    deterministic order regardless of worker count."""
 
     def __init__(self, dataset, batch_size, shuffle=True, seed=0,
-                 prefetch=2, make_batch=None):
+                 prefetch=2, make_batch=None, workers=1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.epoch = 0
         self.prefetch = prefetch
+        self.workers = max(1, int(workers or 1))
         self.make_batch = make_batch or dataset.make_batch
 
     def __len__(self):
@@ -209,7 +217,12 @@ class BatchIterator:
                 yield self.make_batch(
                     order[bi * self.batch_size:(bi + 1) * self.batch_size])
             return
+        if self.workers == 1:
+            yield from self._iter_single(order, n_batches)
+        else:
+            yield from self._iter_pool(order, n_batches)
 
+    def _iter_single(self, order, n_batches):
         q = queue.Queue(maxsize=self.prefetch)
         stop = object()
 
@@ -229,3 +242,55 @@ class BatchIterator:
             if item is stop:
                 break
             yield item
+
+    def _iter_pool(self, order, n_batches):
+        cond = threading.Condition()
+        results = {}
+        state = {"next": 0, "emitted": 0, "error": None}
+        max_pending = self.prefetch + self.workers
+        bs = self.batch_size
+
+        def worker():
+            while True:
+                with cond:
+                    while (state["error"] is None
+                           and state["next"] < n_batches
+                           and state["next"] - state["emitted"]
+                           >= max_pending):
+                        cond.wait()
+                    if state["error"] is not None or \
+                            state["next"] >= n_batches:
+                        return
+                    bi = state["next"]
+                    state["next"] += 1
+                try:
+                    batch = self.make_batch(order[bi * bs:(bi + 1) * bs])
+                except BaseException as e:  # surfaced on the main thread
+                    with cond:
+                        state["error"] = e
+                        cond.notify_all()
+                    return
+                with cond:
+                    results[bi] = batch
+                    cond.notify_all()
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.workers)]
+        for t in threads:
+            t.start()
+        try:
+            for bi in range(n_batches):
+                with cond:
+                    while bi not in results and state["error"] is None:
+                        cond.wait()
+                    if state["error"] is not None:
+                        raise state["error"]
+                    batch = results.pop(bi)
+                    state["emitted"] += 1
+                    cond.notify_all()
+                yield batch
+        finally:
+            with cond:
+                if state["error"] is None:
+                    state["error"] = GeneratorExit()  # unblock workers
+                cond.notify_all()

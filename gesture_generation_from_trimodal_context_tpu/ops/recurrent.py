@@ -33,12 +33,22 @@ from .init import uniform_init
 # jitted function (jit caches do not observe later changes).
 _GRU_IMPL = "scan"
 
+# lax.scan unroll factor for the recurrent loops.  Unrolling trades
+# compile time for removing per-iteration while-loop overhead (the
+# recurrence itself stays sequential).  Resolved at trace time.
+_SCAN_UNROLL = 1
+
 
 def set_gru_impl(name):
     global _GRU_IMPL
     if name not in ("scan", "pallas"):
         raise ValueError(name)
     _GRU_IMPL = name
+
+
+def set_scan_unroll(n):
+    global _SCAN_UNROLL
+    _SCAN_UNROLL = max(1, int(n))
 
 
 def run_gru_direction(wi, bi, wh, bh, x, h0, reverse=False):
@@ -79,7 +89,8 @@ def gru_scan(wi, bi, wh, bh, x, h0, reverse=False):
         h_new = (1.0 - z) * n + z * h
         return h_new, h_new
 
-    h_last, ys = jax.lax.scan(step, h0, xp, reverse=reverse)
+    h_last, ys = jax.lax.scan(step, h0, xp, reverse=reverse,
+                              unroll=_SCAN_UNROLL)
     return jnp.swapaxes(ys, 0, 1), h_last
 
 
@@ -126,7 +137,8 @@ def gru_bidir_scan(params_f, params_b, x, h0_f, h0_b):
         h_new = (1.0 - z) * n + z * h
         return h_new, h_new
 
-    h_last, ys = jax.lax.scan(step, h0, xp)             # ys: (T, 2, B, H)
+    h_last, ys = jax.lax.scan(step, h0, xp,
+                              unroll=_SCAN_UNROLL)    # ys: (T, 2, B, H)
     out_f = jnp.swapaxes(ys[:, 0], 0, 1)                # (B, T, H)
     out_b = jnp.swapaxes(ys[::-1, 1], 0, 1)             # re-reverse
     return jnp.concatenate([out_f, out_b], -1), (h_last[0], h_last[1])

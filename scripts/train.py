@@ -74,9 +74,13 @@ def main(args):
         "speech2gesture": {"in_spec", "in_audio", "target_vec"},
     }.get(args.model)
 
+    # loader_workers doubles as the batch-assembly thread-pool size
+    # (reference DataLoader num_workers, lmdb_data_loader usage); the
+    # native gathers release the GIL so threads scale
     train_loader = BatchIterator(
         train_dataset, args.batch_size, shuffle=True,
         seed=max(args.random_seed, 0), prefetch=args.prefetch_batches,
+        workers=max(1, args.loader_workers),
         make_batch=lambda idx: train_dataset.make_batch(idx, fields))
     test_loader = BatchIterator(
         val_dataset, args.batch_size, shuffle=False,

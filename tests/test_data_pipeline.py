@@ -184,3 +184,43 @@ def test_parallel_cache_build_matches_sequential(raw_store_dir, tmp_path):
             np.asarray(seq.arrays[field]), np.asarray(par.arrays[field]))
     assert seq.words == par.words
     assert seq.vids == par.vids
+
+
+def test_batch_iterator_worker_pool_deterministic(tmp_path):
+    """Multi-worker batch assembly yields the SAME batches in the SAME
+    order as the single-thread path, and worker errors surface."""
+    import numpy as np
+    from gesture_generation_from_trimodal_context_tpu.data.dataset import (
+        BatchIterator)
+
+    class _DS:
+        def __len__(self):
+            return 64
+
+        def make_batch(self, idx):
+            return {"target_vec": np.asarray(idx, np.int64)[:, None]}
+
+    ds = _DS()
+    ref = [b["target_vec"].ravel().tolist()
+           for b in BatchIterator(ds, 8, shuffle=True, seed=3, prefetch=2,
+                                  workers=1)]
+    got = [b["target_vec"].ravel().tolist()
+           for b in BatchIterator(ds, 8, shuffle=True, seed=3, prefetch=2,
+                                  workers=4)]
+    assert got == ref
+    assert len(got) == 8
+
+    class _Boom(_DS):
+        def make_batch(self, idx):
+            if int(idx[0]) >= 32:
+                raise RuntimeError("boom")
+            return super().make_batch(idx)
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(BatchIterator(_Boom(), 8, shuffle=False, prefetch=2,
+                           workers=4))
+
+    # abandoning the iterator mid-epoch must not deadlock
+    it = iter(BatchIterator(ds, 8, shuffle=False, prefetch=2, workers=4))
+    next(it)
+    it.close()
