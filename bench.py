@@ -31,16 +31,25 @@ def main():
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--fused", default="true",
-                    help="fused no-grad generator/discriminator forwards "
-                         "(exact math, fewer sequential scan chains)")
+                    help="'true': fused no-grad generator/discriminator "
+                         "forwards; 'all': ALL generator forwards folded "
+                         "into one vjp-captured forward; 'false': faithful "
+                         "per-forward path (all exact math)")
     ap.add_argument("--use_pallas", default="false",
                     help="Pallas-fused GRU kernels instead of lax.scan")
     ap.add_argument("--steps_per_call", type=int, default=1,
                     help="fuse K train steps into one program (amortizes "
                          "tunnel dispatch latency)")
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--unroll", type=int, default=2,
+                    help="lax.scan unroll factor for the recurrent loops "
+                         "(2 measured fastest at the published recipe; 4 "
+                         "regresses, >=8 crashes the AOT compile helper)")
+    ap.add_argument("--rnn_bf16", default="false",
+                    help="bfloat16 compute inside the recurrent loops")
     cli = ap.parse_args()
-    fused = cli.fused.lower() in ("1", "true", "yes")
+    fused = cli.fused.lower() in ("1", "true", "yes", "all")
+    fold_all = cli.fused.lower() == "all"
     use_pallas = cli.use_pallas.lower() in ("1", "true", "yes")
 
     import jax
@@ -61,11 +70,21 @@ def main():
         from gesture_generation_from_trimodal_context_tpu.ops.recurrent import (
             set_gru_impl)
         set_gru_impl("pallas")
+    if cli.unroll != 1:
+        from gesture_generation_from_trimodal_context_tpu.ops.recurrent import (
+            set_scan_unroll)
+        set_scan_unroll(cli.unroll)
+    if cli.rnn_bf16.lower() in ("1", "true", "yes"):
+        import jax.numpy as jnp
+        from gesture_generation_from_trimodal_context_tpu.ops.recurrent import (
+            set_rnn_dtype)
+        set_rnn_dtype(jnp.bfloat16)
 
     args, bundle, lang, spk = ge._flagship(
         hidden_size=300, n_layers=4, n_words=20000, wordembed_dim=300,
         n_speakers=1400)
     args.fused_gen_forwards = fused
+    args.fold_all_forwards = fold_all
     key = jax.random.PRNGKey(0)
     gvars = factory.generator_init_variables(bundle, args, key, batch)
     dvars = factory.discriminator_init_variables(bundle, args, key, batch)

@@ -113,6 +113,19 @@ def _tpu_options():
     # BatchNorm running stats update once on the combined batch instead of
     # sequentially per forward (train/gan.py fused_step_body)
     add(_Opt("fused_gen_forwards", str2bool, False))
+    # DOCUMENTED DEVIATION (stronger form): ALL generator forwards of the
+    # adversarial step run as one (1+train_d+use_div)*B-batched forward
+    # captured with jax.vjp; gradients flow through slice 0 only.  Exact
+    # loss math, minimal sequential scan chains (train/gan.py
+    # folded_step_body); takes precedence over fused_gen_forwards
+    add(_Opt("fold_all_forwards", str2bool, False))
+    # lax.scan unroll factor for the recurrent GRU loops (compile time vs
+    # per-iteration while-loop overhead; ops/recurrent.set_scan_unroll)
+    add(_Opt("scan_unroll", int, 1))
+    # DOCUMENTED DEVIATION: bfloat16 compute inside the recurrent loops
+    # (carries/gates/recurrent matmul); params and optimizer state stay
+    # fp32 (ops/recurrent.set_rnn_dtype)
+    add(_Opt("rnn_bf16", str2bool, False))
     add(_Opt("deterministic_tb_dir", str2bool, False))  # stable tensorboard dir name (tests)
     return o
 

@@ -13,6 +13,14 @@ mathematically identical pure-JAX scan under jax.vjp, so training through
 this op is exact; the kernel itself is the inference/synthesis fast path
 (enable with use_pallas).
 
+STATUS (measured, round 2 — tools/bench_gru.py, hard-synced slope
+timing): XLA's while-loop lowering already keeps the carry and weights
+VMEM-resident at these sizes, so this kernel is ~parity (0.94-0.97x) at
+the published recipe and wins only for the B=1 full bidirectional stack
+(1.22x, fewer launches).  It is therefore DEFAULT-OFF and kept as the
+B=1 synthesis fast path and a worked Pallas example; the lax.scan path
+(ops/recurrent.py) is the production path.  See RESULTS.md.
+
 Falls back to interpreter mode off-TPU so tests run on CPU.
 """
 

@@ -38,6 +38,14 @@ _GRU_IMPL = "scan"
 # recurrence itself stays sequential).  Resolved at trace time.
 _SCAN_UNROLL = 1
 
+# Compute dtype INSIDE the recurrent loops (None = input dtype, i.e.
+# fp32).  "bfloat16" halves the per-step VMEM/HBM traffic and VPU gate
+# math; carries, gates, and the recurrent matmul run in bf16 with the
+# scan outputs cast back to the input dtype.  DOCUMENTED DEVIATION from
+# the reference's fp32 (flag --rnn_bf16); parameters and optimizer state
+# stay fp32.  Resolved at trace time.
+_RNN_DTYPE = None
+
 
 def set_gru_impl(name):
     global _GRU_IMPL
@@ -49,6 +57,12 @@ def set_gru_impl(name):
 def set_scan_unroll(n):
     global _SCAN_UNROLL
     _SCAN_UNROLL = max(1, int(n))
+
+
+def set_rnn_dtype(dtype):
+    """dtype: None (input dtype) or a jnp dtype like jnp.bfloat16."""
+    global _RNN_DTYPE
+    _RNN_DTYPE = jnp.dtype(dtype) if dtype is not None else None
 
 
 def run_gru_direction(wi, bi, wh, bh, x, h0, reverse=False):
@@ -73,9 +87,15 @@ def gru_scan(wi, bi, wh, bh, x, h0, reverse=False):
     Returns: (outputs (B, T, H), final hidden (B, H))
     """
     h_size = h0.shape[-1]
+    out_dtype = x.dtype
     # Hoisted input projection: one MXU-friendly matmul for all timesteps.
     xp = jnp.einsum("bti,gi->btg", x, wi) + bi  # (B, T, 3H)
     xp = jnp.swapaxes(xp, 0, 1)                 # (T, B, 3H)
+    if _RNN_DTYPE is not None:
+        xp = xp.astype(_RNN_DTYPE)
+        wh = wh.astype(_RNN_DTYPE)
+        bh = bh.astype(_RNN_DTYPE)
+        h0 = h0.astype(_RNN_DTYPE)
 
     def step(h, xt):
         hp = h @ wh.T + bh
@@ -91,7 +111,8 @@ def gru_scan(wi, bi, wh, bh, x, h0, reverse=False):
 
     h_last, ys = jax.lax.scan(step, h0, xp, reverse=reverse,
                               unroll=_SCAN_UNROLL)
-    return jnp.swapaxes(ys, 0, 1), h_last
+    return (jnp.swapaxes(ys, 0, 1).astype(out_dtype),
+            h_last.astype(out_dtype))
 
 
 def gru_bidir_scan(params_f, params_b, x, h0_f, h0_b):
@@ -112,6 +133,7 @@ def gru_bidir_scan(params_f, params_b, x, h0_f, h0_b):
     wi_f, bi_f, wh_f, bh_f = params_f
     wi_b, bi_b, wh_b, bh_b = params_b
     h_size = h0_f.shape[-1]
+    out_dtype = x.dtype
 
     # hoisted input projections (big MXU matmuls, outside the recurrence)
     xp_f = jnp.einsum("bti,gi->btg", x, wi_f) + bi_f    # (B, T, 3H)
@@ -123,6 +145,8 @@ def gru_bidir_scan(params_f, params_b, x, h0_f, h0_b):
     wh = jnp.stack([wh_f, wh_b])                        # (2, 3H, H)
     bh = jnp.stack([bh_f, bh_b])                        # (2, 3H)
     h0 = jnp.stack([h0_f, h0_b])                        # (2, B, H)
+    if _RNN_DTYPE is not None:
+        xp, wh, bh, h0 = (a.astype(_RNN_DTYPE) for a in (xp, wh, bh, h0))
 
     def step(h, xt):
         # h: (2, B, H); xt: (2, B, 3H)
@@ -139,6 +163,8 @@ def gru_bidir_scan(params_f, params_b, x, h0_f, h0_b):
 
     h_last, ys = jax.lax.scan(step, h0, xp,
                               unroll=_SCAN_UNROLL)    # ys: (T, 2, B, H)
+    ys = ys.astype(out_dtype)
+    h_last = h_last.astype(out_dtype)
     out_f = jnp.swapaxes(ys[:, 0], 0, 1)                # (B, T, H)
     out_b = jnp.swapaxes(ys[::-1, 1], 0, 1)             # re-reverse
     return jnp.concatenate([out_f, out_b], -1), (h_last[0], h_last[1])

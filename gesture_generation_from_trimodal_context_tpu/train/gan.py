@@ -205,6 +205,131 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
         metrics.update(g_metrics)
         return gen_state, dis_state, metrics
 
+    def folded_step_body(gen_state: NetState, dis_state: NetState, batch,
+                         rng, train_d: bool, add_gan: bool):
+        """Fully-folded variant (--fold_all_forwards): ALL generator
+        forwards of the iteration (the differentiated G-step forward, the
+        D-step's fake, and the diversity regularizer's shuffled-speaker
+        draw) run as ONE (1+train_d+use_div)*B-batched forward captured
+        with jax.vjp; gradients flow back through slice 0 only (the other
+        slices get zero cotangents, reproducing the reference's
+        stop_gradient semantics).  One forward chain + one backward chain
+        per iteration is the minimum possible number of sequential GRU
+        scan chains for this loss.
+
+        Same exactness argument as fused_step_body: BN normalization uses
+        current-batch statistics which are identical across the duplicated
+        audio slices, and the running-stat chain is reconstructed exactly
+        (_chain_updates).  RNG stream assignment differs from the faithful
+        path (documented deviation; the reference is unseeded anyway).
+
+        Round-1 note: this variant was rejected based on timings taken
+        with jax.block_until_ready, which does not drain the axon tunnel's
+        remote queue (see bench.py); honest slope timing re-measured it.
+        """
+        in_text = batch["in_text"]
+        in_audio = batch["in_audio"]
+        target = batch["target_vec"]
+        vids = batch.get("vid_indices")
+
+        pre_seq = build_pre_seq(target, n_pre)
+        metrics = {}
+        r = jax.random.split(rng, 6)
+        gen_bs0 = gen_state.batch_stats
+        use_div = z_type in ("speaker", "random") and w_reg > 0.0
+        B = target.shape[0]
+
+        # slice order: [grad | fake (train_d) | rand (use_div)]
+        n_rep = 1 + int(train_d) + int(use_div)
+        vid_parts = [vids] * (1 + int(train_d)) if vids is not None else []
+        if use_div and z_type == "speaker":
+            rand_vids = batch.get("rand_vids")
+            if rand_vids is None:
+                rand_vids = jax.random.permutation(r[5], vids)
+            vid_parts.append(rand_vids)
+        cat = lambda x: jnp.concatenate([x] * n_rep, 0)
+        big_vids = jnp.concatenate(vid_parts, 0) if vid_parts else None
+
+        def fwd(g_params):
+            (out, z, z_mu, z_logvar), g_bs = gen_fwd(
+                g_params, gen_bs0, cat(pre_seq), cat(in_text),
+                cat(in_audio), big_vids, r[0])
+            zero = jnp.zeros(())
+            diff = (out, z_mu if z_mu is not None else zero,
+                    z_logvar if z_logvar is not None else zero)
+            return diff, (z, g_bs)
+
+        (big_out, big_mu, big_lv), gvjp, (big_z, g_bs_once) = jax.vjp(
+            fwd, gen_state.params, has_aux=True)
+        gen_bs = _chain_updates(gen_bs0, g_bs_once, n_rep)
+
+        # ---- D step (same vmapped real/fake forward as fused_step_body) ----
+        if train_d:
+            fake = jax.lax.stop_gradient(big_out[B:2 * B])
+
+            def d_loss_fn(d_params):
+                both = jnp.stack([target, fake])
+                d_both, bs2 = jax.vmap(
+                    lambda poses, k: dis_fwd(d_params, dis_state.batch_stats,
+                                             poses, k))(
+                    both, jnp.stack([r[1], r[2]]))
+                loss = -jnp.mean(jnp.log(d_both[0] + EPS)
+                                 + jnp.log(1.0 - d_both[1] + EPS))
+                s0 = dis_state.batch_stats
+                bs = jax.tree_util.tree_map(
+                    lambda s, rr: 0.9 * rr[0] + (rr[1] - 0.9 * s), s0, bs2)
+                return loss, bs
+            (d_loss, d_bs), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(dis_state.params)
+            dis_state = apply_grads(dis_state, dis_tx,
+                                    reduce_grads(d_grads), d_bs)
+            metrics["dis"] = d_loss
+
+        # ---- G step: loss head on slice 0, backward via the saved vjp ----
+        def head_loss(out_all, mu_all, lv_all):
+            out = out_all[:B]
+            huber = smooth_l1(out, target, beta=0.1)
+            d_out, d_bs = dis_fwd(dis_state.params, dis_state.batch_stats,
+                                  out, r[4])
+            gen_err = -jnp.mean(jnp.log(d_out + EPS))
+
+            aux_metrics = {"loss": w_rg * huber}
+            loss = w_rg * huber
+            if use_div:
+                out_rand = jax.lax.stop_gradient(out_all[-B:])
+                pose_l1 = smooth_l1_none(out, out_rand, beta=0.05)
+                pose_l1 = pose_l1.sum(axis=1).sum(axis=1)
+                pose_l1 = pose_l1.reshape(pose_l1.shape[0], -1).mean(axis=1)
+                z_l1 = jnp.abs(jax.lax.stop_gradient(
+                    big_z[:B] - big_z[-B:]))
+                z_l1 = z_l1.reshape(z_l1.shape[0], -1).mean(axis=1)
+                div_reg = -(pose_l1 / (z_l1 + 1.0e-5))
+                div_reg = jnp.clip(div_reg, -1000.0, None).mean()
+                aux_metrics["DIV_REG"] = w_reg * div_reg
+                if z_type == "speaker":
+                    z_mu, z_logvar = mu_all[:B], lv_all[:B]
+                    kld = -0.5 * jnp.mean(1 + z_logvar - z_mu ** 2
+                                          - jnp.exp(z_logvar))
+                    aux_metrics["KLD"] = w_kld * kld
+                    loss = loss + w_kld * kld + w_reg * div_reg
+                else:
+                    loss = loss + w_reg * div_reg
+            if add_gan:
+                loss = loss + w_gan * gen_err
+                aux_metrics["gen"] = w_gan * gen_err
+            return loss, (d_bs, aux_metrics)
+
+        (_, (d_bs, g_metrics)), head_grads = jax.value_and_grad(
+            head_loss, argnums=(0, 1, 2), has_aux=True)(big_out, big_mu,
+                                                        big_lv)
+        (g_grads,) = gvjp(head_grads)
+        gen_state = apply_grads(gen_state, gen_tx,
+                                reduce_grads(g_grads), gen_bs)
+        # the reference's D also sees the G-step forward in train mode
+        dis_state = dis_state.replace(batch_stats=d_bs)
+        metrics.update(g_metrics)
+        return gen_state, dis_state, metrics
+
     def step_body(gen_state: NetState, dis_state: NetState, batch, rng,
                   train_d: bool, add_gan: bool):
         in_text = batch["in_text"]
@@ -297,8 +422,12 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
         metrics.update(g_metrics)
         return gen_state, dis_state, metrics
 
-    body = fused_step_body if getattr(args, "fused_gen_forwards", False) \
-        else step_body
+    if getattr(args, "fold_all_forwards", False):
+        body = folded_step_body
+    elif getattr(args, "fused_gen_forwards", False):
+        body = fused_step_body
+    else:
+        body = step_body
     step = jax.jit(body, static_argnames=("train_d", "add_gan"),
                    donate_argnames=("gen_state", "dis_state"))
     step.body = body

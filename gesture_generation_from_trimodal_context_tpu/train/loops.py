@@ -80,6 +80,13 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
         # math, see ops/pallas_gru.py)
         from ..ops.recurrent import set_gru_impl
         set_gru_impl("pallas")
+    if getattr(args, "scan_unroll", 1) and args.scan_unroll > 1:
+        from ..ops.recurrent import set_scan_unroll
+        set_scan_unroll(args.scan_unroll)
+    if getattr(args, "rnn_bf16", False):
+        import jax.numpy as _jnp
+        from ..ops.recurrent import set_rnn_dtype
+        set_rnn_dtype(_jnp.bfloat16)
 
     # mesh strategy validation first (before any model building)
     dp_strategy = getattr(args, "dp_strategy", "jit") or "jit"

@@ -86,3 +86,31 @@ def test_gru_init_distribution():
     bound = 0.1
     assert np.abs(w).max() <= bound + 1e-6
     assert w.std() > bound / 3  # roughly uniform, not degenerate
+
+
+def test_gru_bf16_mode_close_to_fp32():
+    """set_rnn_dtype(bf16): same math at bf16 precision — outputs must
+    track the fp32 scan within bf16 tolerance and come back as fp32."""
+    from gesture_generation_from_trimodal_context_tpu.ops import recurrent
+
+    rng = jax.random.PRNGKey(0)
+    x = 0.3 * jax.random.normal(rng, (4, 12, 16))
+    model = GRU(hidden_size=24, num_layers=2, bidirectional=True)
+    v = model.init(jax.random.PRNGKey(1), x)
+    out32, hn32 = model.apply(v, x)
+
+    recurrent.set_rnn_dtype(jnp.bfloat16)
+    try:
+        out16, hn16 = model.apply(v, x)
+    finally:
+        recurrent.set_rnn_dtype(None)
+
+    assert out16.dtype == x.dtype
+    assert hn16.dtype == x.dtype
+    # bf16 has ~3 decimal digits; recurrences accumulate a little
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32),
+                               atol=5e-2)
+    np.testing.assert_allclose(np.asarray(hn16), np.asarray(hn32),
+                               atol=5e-2)
+    # and it must be a real precision change, not a no-op
+    assert np.abs(np.asarray(out16) - np.asarray(out32)).max() > 1e-5

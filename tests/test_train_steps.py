@@ -176,11 +176,12 @@ def test_s2g_train_step(rng):
 
 
 def test_fused_gan_step_matches_faithful_exactly():
-    """--fused_gen_forwards: with z_type='none' and dropout off the fused
-    step consumes identical RNG streams, so losses, updated params, and
-    the BN running-stat chains must match the faithful step (up to
-    float-op reordering of the vmapped/batched matmuls; one Adam step
-    amplifies ulp noise, hence the 1e-4 param tolerance)."""
+    """--fused_gen_forwards AND --fold_all_forwards: with z_type='none'
+    and dropout off the generator forward is deterministic, so losses,
+    updated params, and the BN running-stat chains of both batched
+    variants must match the faithful step (up to float-op reordering of
+    the vmapped/batched matmuls; one Adam step amplifies ulp noise, hence
+    the param tolerance)."""
     import copy
     from types import SimpleNamespace
     import jax
@@ -197,7 +198,7 @@ def test_fused_gan_step_matches_faithful_exactly():
     for w in ("alpha", "beta", "gamma"):
         lang.index_word(w)
 
-    def mk_args(fused):
+    def mk_args(mode):
         return SimpleNamespace(
             model="multimodal_context", n_poses=34, n_pre_poses=4,
             hidden_size=24, n_layers=2, dropout_prob=0.0,
@@ -206,7 +207,8 @@ def test_fused_gan_step_matches_faithful_exactly():
             learning_rate=5e-4, discriminator_lr_weight=0.2,
             loss_regression_weight=500.0, loss_gan_weight=5.0,
             loss_kld_weight=0.1, loss_reg_weight=0.05, loss_warmup=0,
-            fused_gen_forwards=fused)
+            fused_gen_forwards=(mode == "fused"),
+            fold_all_forwards=(mode == "fold"))
 
     rng = np.random.RandomState(0)
     batch = {
@@ -217,8 +219,8 @@ def test_fused_gan_step_matches_faithful_exactly():
     }
 
     results = []
-    for fused in (False, True):
-        args = mk_args(fused)
+    for mode in ("faithful", "fused", "fold"):
+        args = mk_args(mode)
         bundle = factory.init_model(args, lang, None, 27)
         gvars = factory.generator_init_variables(bundle, args,
                                                  jax.random.PRNGKey(7), 2)
@@ -232,24 +234,28 @@ def test_fused_gan_step_matches_faithful_exactly():
             train_d=True, add_gan=True)
         results.append((gen_state, dis_state, metrics))
 
-    (g0, d0, m0), (g1, d1, m1) = results
-    assert set(m0) == set(m1)
-    for k in m0:
-        np.testing.assert_allclose(np.asarray(m0[k]), np.asarray(m1[k]),
-                                   rtol=3e-4, atol=1e-5, err_msg=k)
-    for name, atol, t0, t1 in (
-            # one Adam step moves a weight by up to ~lr regardless of gradient
-            # magnitude, so a low-bit gradient difference (float-op
-            # reordering in the batched forward) can shift single params
-            # by O(lr)=5e-4; tolerance = a few Adam quanta
-            ("gen_params", 2e-3, g0.params, g1.params),
-            ("gen_bn", 1e-4, g0.batch_stats, g1.batch_stats),
-            ("dis_params", 2e-3, d0.params, d1.params),
-            ("dis_bn", 1e-4, d0.batch_stats, d1.batch_stats)):
-        jax.tree_util.tree_map(
-            lambda a, b, _atol=atol, _n=name: np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), atol=_atol, err_msg=_n),
-            t0, t1)
+    (g0, d0, m0) = results[0]
+    for variant, (g1, d1, m1) in zip(("fused", "fold"), results[1:]):
+        assert set(m0) == set(m1), variant
+        for k in m0:
+            np.testing.assert_allclose(
+                np.asarray(m0[k]), np.asarray(m1[k]), rtol=3e-4, atol=1e-5,
+                err_msg="%s/%s" % (variant, k))
+        for name, atol, t0, t1 in (
+                # one Adam step moves a weight by up to ~lr regardless of
+                # gradient magnitude, so a low-bit gradient difference
+                # (float-op reordering in the batched forward) can shift
+                # single params by O(lr)=5e-4; tolerance = a few Adam quanta
+                ("gen_params", 2e-3, g0.params, g1.params),
+                ("gen_bn", 1e-4, g0.batch_stats, g1.batch_stats),
+                ("dis_params", 2e-3, d0.params, d1.params),
+                ("dis_bn", 1e-4, d0.batch_stats, d1.batch_stats)):
+            jax.tree_util.tree_map(
+                lambda a, b, _atol=atol, _n=name + "/" + variant:
+                    np.testing.assert_allclose(
+                        np.asarray(a), np.asarray(b), atol=_atol,
+                        err_msg=_n),
+                t0, t1)
 
 
 def test_fused_gan_step_speaker_z_runs():
@@ -282,12 +288,14 @@ def test_fused_gan_step_speaker_z_runs():
         learning_rate=5e-4, discriminator_lr_weight=0.2,
         loss_regression_weight=500.0, loss_gan_weight=5.0,
         loss_kld_weight=0.1, loss_reg_weight=0.05, loss_warmup=0,
-        fused_gen_forwards=True)
+        fused_gen_forwards=True, fold_all_forwards=False)
     bundle = factory.init_model(args, lang, spk, 27)
     gvars = factory.generator_init_variables(bundle, args,
                                              jax.random.PRNGKey(0), 2)
     dvars = factory.discriminator_init_variables(bundle, args,
                                                  jax.random.PRNGKey(0), 2)
+    import copy
+    gvars2, dvars2 = copy.deepcopy(gvars), copy.deepcopy(dvars)
     step, gen_tx, dis_tx = make_gan_train_step(bundle, args)
     gen_state = make_net_state(gvars, gen_tx)
     dis_state = make_net_state(dvars, dis_tx)
@@ -306,3 +314,16 @@ def test_fused_gan_step_speaker_z_runs():
     assert {"loss", "gen", "dis", "KLD", "DIV_REG"} <= set(metrics)
     for k, v in metrics.items():
         assert np.isfinite(float(v)), k
+
+    # folded variant (--fold_all_forwards) on the same speaker-z setup
+    # (param copies snapshotted above: the first step donated its buffers)
+    args.fold_all_forwards = True
+    step2, gen_tx2, dis_tx2 = make_gan_train_step(bundle, args)
+    gen_state2 = make_net_state(gvars2, gen_tx2)
+    dis_state2 = make_net_state(dvars2, dis_tx2)
+    gen_state2, dis_state2, metrics2 = step2(gen_state2, dis_state2, batch,
+                                             jax.random.PRNGKey(3),
+                                             train_d=True, add_gan=True)
+    assert {"loss", "gen", "dis", "KLD", "DIV_REG"} <= set(metrics2)
+    for k, v in metrics2.items():
+        assert np.isfinite(float(v)), "fold/" + k
