@@ -126,6 +126,11 @@ def _tpu_options():
     # (carries/gates/recurrent matmul); params and optimizer state stay
     # fp32 (ops/recurrent.set_rnn_dtype)
     add(_Opt("rnn_bf16", str2bool, False))
+    # gaussian-noise augmentation for H3.6M training windows
+    # (train_feature_extractor.py).  The reference implements this path
+    # but never enables it (reference h36m_loader.py:44-48,100-104);
+    # default off for parity
+    add(_Opt("h36m_augment", str2bool, False))
     add(_Opt("deterministic_tb_dir", str2bool, False))  # stable tensorboard dir name (tests)
     return o
 

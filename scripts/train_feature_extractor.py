@@ -53,8 +53,15 @@ def main(args, h36m_path=None, trial_epochs=None):
 
     path = h36m_path or H36M_PATH
     mean_dir_vec = np.squeeze(np.array(args.mean_dir_vec))
-    train_dataset = Human36M(path, mean_dir_vec, is_train=True, augment=False)
+    # --h36m_augment: gaussian joint noise on training windows.  The
+    # reference implements but never enables this (h36m_loader.py:44-56);
+    # default off for parity.
+    augment = bool(getattr(args, "h36m_augment", False))
+    train_dataset = Human36M(path, mean_dir_vec, is_train=True,
+                             augment=augment)
     val_dataset = Human36M(path, mean_dir_vec, is_train=False, augment=False)
+    aug_rs = np.random.RandomState(max(args.random_seed, 0)) if augment \
+        else None
     logging.info("h36m windows: train %d, val %d", len(train_dataset),
                  len(val_dataset))
 
@@ -103,7 +110,7 @@ def main(args, h36m_path=None, trial_epochs=None):
         for bi in range(n_batches):
             global_iter += 1
             batch = train_dataset.make_batch(
-                order[bi * batch_size:(bi + 1) * batch_size])
+                order[bi * batch_size:(bi + 1) * batch_size], rng=aug_rs)
             state, metrics = step_fn(
                 state, {"target_vec": batch["target_vec"]},
                 jax.random.fold_in(rng, global_iter))

@@ -229,3 +229,18 @@ def test_multimodal_fused_steps_per_call(workdir, fgd_ckpt):
                               speaker_model=train_ds.speaker_model,
                               trial_epochs=1)
     assert np.isfinite(best["loss"][0])
+
+
+def test_feature_extractor_h36m_augment(workdir):
+    """--h36m_augment: the reference's implemented-but-unused gaussian
+    joint-noise path (reference h36m_loader.py:44-56) trains when opted
+    in and still converges to a finite best loss."""
+    args = cfg.parse_args([
+        "--config", _cfg("gesture_autoencoder.yml"),
+        "--model_save_path", str(workdir / "fgd_aug"),
+        "--batch_size", "16", "--random_seed", "5",
+        "--h36m_augment", "true",
+        "--save_result_video", "false"])
+    best = tfe.main(args, h36m_path=str(workdir / "h36m.npz"),
+                    trial_epochs=1)
+    assert np.isfinite(best[0])
