@@ -355,3 +355,53 @@ def test_import_joint_embedding(ref_mods, tmp_path):
     np.testing.assert_allclose(np.asarray(pose_feat), t_pose_feat.numpy(),
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(out), t_out.numpy(), atol=1e-3)
+
+
+def test_synthesize_from_db_clip_with_torch_checkpoint(ref_mods, tmp_path,
+                                                       monkeypatch):
+    """VERDICT done-criterion: `synthesize.py from_db_clip` runs
+    end-to-end directly from a reference-format torch checkpoint
+    (auto-detected + converted in memory), down to the PKL/GIF artifacts.
+    """
+    import pickle
+    from gesture_generation_from_trimodal_context_tpu.data import synthetic
+    import scripts.synthesize as synth_cli
+
+    ref_mmc, _, ref_vocab = ref_mods
+    args = _mmc_args()
+    # from_db_clip needs the real recipe statistics in the saved args
+    args.mean_dir_vec = synthetic.MEAN_DIR_VEC.ravel().tolist()
+    args.mean_pose = synthetic.MEAN_POSE.tolist()
+
+    base = tmp_path / "ted"
+    synthetic.make_synthetic_raw_store(str(base / "lmdb_test"), n_videos=2,
+                                       clips_per_video=1,
+                                       clip_duration_s=8.0, seed=11)
+    store_words = []
+    from gesture_generation_from_trimodal_context_tpu.data.storage import (
+        open_raw_store)
+    for v in open_raw_store(str(base / "lmdb_test")).iter_videos():
+        for clip in v["clips"]:
+            store_words.extend(w[0] for w in clip["words"])
+    lang = _make_vocab(ref_vocab, sorted(set(store_words)))
+
+    ref = ref_mmc.PoseGenerator(args, pose_dim=27, n_words=lang.n_words,
+                                word_embed_size=16, word_embeddings=None,
+                                z_obj=None)
+    path = os.path.join(str(tmp_path), "ref_full.bin")
+    torch.save({"args": args, "epoch": 3, "lang_model": lang,
+                "speaker_model": None, "pose_dim": 27,
+                "gen_dict": ref.state_dict(), "dis_dict": None}, path)
+    assert torch_import.is_torch_checkpoint(path)
+
+    monkeypatch.chdir(tmp_path)
+    synth_cli.main("from_db_clip", path, 1, data_base=str(base))
+
+    results = tmp_path / "output" / "generation_results"
+    pkls = list(results.glob("*.pkl"))
+    assert len(pkls) == 1, list(results.iterdir())
+    with open(pkls[0], "rb") as f:
+        d = pickle.load(f)
+    assert set(d) >= {"sentence", "audio", "out_dir_vec", "out_poses",
+                      "human_dir_vec", "aux_info"}
+    assert np.isfinite(d["out_dir_vec"]).all()
