@@ -126,6 +126,10 @@ def _tpu_options():
     # (carries/gates/recurrent matmul); params and optimizer state stay
     # fp32 (ops/recurrent.set_rnn_dtype)
     add(_Opt("rnn_bf16", str2bool, False))
+    # ship raw audio host->device as int16 PCM (half the bytes of fp32;
+    # bit-exact for audio decoded from 16-bit PCM sources like the TED
+    # recordings); jitted steps decode in-graph (train/common.decode_audio)
+    add(_Opt("audio_int16_transfer", str2bool, False))
     # gaussian-noise augmentation for H3.6M training windows
     # (train_feature_extractor.py).  The reference implements this path
     # but never enables it (reference h36m_loader.py:44-48,100-104);

@@ -155,7 +155,16 @@ class SpeechMotionDataset:
                 pad = self.expected_audio_length - audio_fixed.shape[1]
                 audio_fixed = np.pad(audio_fixed, ((0, 0), (0, pad)),
                                      mode="symmetric")
-            out["in_audio"] = audio_fixed.astype(np.float32, copy=False)
+            if getattr(self, "audio_int16", False):
+                # --audio_int16_transfer: ship PCM-precision int16 (half
+                # the host->device bytes; bit-exact for 16-bit-PCM-sourced
+                # audio).  The jitted steps decode in-graph
+                # (train/common.decode_audio).
+                out["in_audio"] = np.rint(np.clip(
+                    audio_fixed.astype(np.float32, copy=False) * 32767.0,
+                    -32767.0, 32767.0)).astype(np.int16)
+            else:
+                out["in_audio"] = audio_fixed.astype(np.float32, copy=False)
         if want("in_spec"):
             out["in_spec"] = native.gather(
                 arrays["spectrogram"], idx)[

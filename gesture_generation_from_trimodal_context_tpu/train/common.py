@@ -4,6 +4,21 @@ import jax
 import jax.numpy as jnp
 
 
+AUDIO_INT16_SCALE = 32767.0
+
+
+def decode_audio(a):
+    """Accept int16 PCM audio across the host->device boundary.
+
+    --audio_int16_transfer ships raw audio as int16 (half the bytes of
+    fp32; bit-exact for audio decoded from 16-bit PCM sources like the
+    TED recordings) and this decodes it back to float32 in-graph.
+    float32 input passes through untouched."""
+    if a is not None and a.dtype == jnp.int16:
+        return a.astype(jnp.float32) * (1.0 / AUDIO_INT16_SCALE)
+    return a
+
+
 def build_pre_seq(target_poses, n_pre_poses):
     """Seed-pose conditioning input: zeros except the first n_pre_poses
     frames carry the target pose + a constraint bit of 1

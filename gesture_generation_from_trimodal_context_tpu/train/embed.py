@@ -28,7 +28,7 @@ def make_embed_train_step(bundle, args, mode=None, use_pose_diff=False):
     @partial(jax.jit, donate_argnames=("state",))
     def step(state: NetState, batch, rng):
         in_text = batch.get("in_text")
-        in_audio = batch.get("in_audio")
+        in_audio = decode_audio(batch.get("in_audio"))
         target = batch["target_vec"]
         pre_seq = target[:, 0:n_pre]
 
@@ -128,7 +128,7 @@ def make_embed_eval_step(bundle, mode=None):
     @jax.jit
     def step(params, batch_stats, batch, rng):
         in_text = batch.get("in_text")
-        in_audio = batch.get("in_audio")
+        in_audio = decode_audio(batch.get("in_audio"))
         target = batch["target_vec"]
         pre_seq = batch.get("pre_seq_partial")
         rngs = split_rngs(rng, ("noise", "dropout"))

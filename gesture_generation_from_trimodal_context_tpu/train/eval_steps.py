@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import skeleton
-from .common import build_pre_seq, split_rngs
+from .common import build_pre_seq, decode_audio, split_rngs
 
 
 def make_eval_step(bundle, args, mean_dir_vec):
@@ -34,6 +34,8 @@ def make_eval_step(bundle, args, mean_dir_vec):
 
     @jax.jit
     def step(gen_vars, batch, vids, rng):
+        if "in_audio" in batch:
+            batch = dict(batch, in_audio=decode_audio(batch["in_audio"]))
         target = batch["target_vec"]
         rngs = split_rngs(rng, ("noise", "dropout"))
         if model == "multimodal_context":

@@ -28,7 +28,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .common import apply_net, build_pre_seq, smooth_l1, smooth_l1_none, split_rngs
+from .common import (apply_net, build_pre_seq, decode_audio, smooth_l1,
+                     smooth_l1_none, split_rngs)
 from .state import NetState, adam, apply_grads
 
 EPS = 1e-8
@@ -99,7 +100,7 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
         Win: ~1/3 fewer sequential GRU scan chains per iteration
         (measured 2.42 -> 2.17 ms/step at the published recipe)."""
         in_text = batch["in_text"]
-        in_audio = batch["in_audio"]
+        in_audio = decode_audio(batch["in_audio"])
         target = batch["target_vec"]
         vids = batch.get("vid_indices")
 
@@ -228,7 +229,7 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
         remote queue (see bench.py); honest slope timing re-measured it.
         """
         in_text = batch["in_text"]
-        in_audio = batch["in_audio"]
+        in_audio = decode_audio(batch["in_audio"])
         target = batch["target_vec"]
         vids = batch.get("vid_indices")
 
@@ -333,7 +334,7 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
     def step_body(gen_state: NetState, dis_state: NetState, batch, rng,
                   train_d: bool, add_gan: bool):
         in_text = batch["in_text"]
-        in_audio = batch["in_audio"]
+        in_audio = decode_audio(batch["in_audio"])
         target = batch["target_vec"]
         vids = batch.get("vid_indices")
 

@@ -528,6 +528,9 @@ def evaluate_sample_and_save_video(epoch, prefix, test_loader, gen_vars,
         os.makedirs(save_dir, exist_ok=True)
         audio = one.get("in_audio")
         audio_npy = np.asarray(audio[0]) if audio is not None else None
+        if audio_npy is not None and audio_npy.dtype == np.int16:
+            # int16 PCM transfer mode (--audio_int16_transfer)
+            audio_npy = audio_npy.astype(np.float32) / 32767.0
 
         # time-range overlay (reference train.py:376-380)
         aux_str = None

@@ -74,6 +74,12 @@ def main(args):
         "speech2gesture": {"in_spec", "in_audio", "target_vec"},
     }.get(args.model)
 
+    if getattr(args, "audio_int16_transfer", False):
+        # halve host->device audio bytes (int16 PCM; decoded in-graph)
+        train_dataset.audio_int16 = True
+        val_dataset.audio_int16 = True
+        test_dataset.audio_int16 = True
+
     # loader_workers doubles as the batch-assembly thread-pool size
     # (reference DataLoader num_workers, lmdb_data_loader usage); the
     # native gathers release the GIL so threads scale

@@ -224,3 +224,33 @@ def test_batch_iterator_worker_pool_deterministic(tmp_path):
     it = iter(BatchIterator(ds, 8, shuffle=False, prefetch=2, workers=4))
     next(it)
     it.close()
+
+
+def test_audio_int16_transfer_roundtrip(tmp_path):
+    """--audio_int16_transfer: make_batch emits int16 PCM whose in-graph
+    decode (train/common.decode_audio) matches the fp32 batch to PCM
+    quantization precision (0.5/32767)."""
+    import jax.numpy as jnp
+    from gesture_generation_from_trimodal_context_tpu.data import synthetic
+    from gesture_generation_from_trimodal_context_tpu.data.dataset import (
+        SpeechMotionDataset)
+    from gesture_generation_from_trimodal_context_tpu.train.common import (
+        decode_audio)
+
+    base = str(tmp_path / "lmdb_train")
+    synthetic.make_synthetic_raw_store(base, n_videos=2, clips_per_video=1,
+                                       clip_duration_s=8.0, seed=0)
+    ds = SpeechMotionDataset(
+        base, n_poses=34, subdivision_stride=10, pose_resampling_fps=15,
+        mean_pose=synthetic.MEAN_POSE,
+        mean_dir_vec=synthetic.MEAN_DIR_VEC)
+    idx = np.arange(min(4, len(ds)))
+    f32 = ds.make_batch(idx, {"in_audio"})["in_audio"]
+    ds.audio_int16 = True
+    i16 = ds.make_batch(idx, {"in_audio"})["in_audio"]
+    assert i16.dtype == np.int16
+    dec = np.asarray(decode_audio(jnp.asarray(i16)))
+    assert np.abs(dec - f32).max() <= 0.5 / 32767.0 + 1e-7
+    # fp32 batches pass through decode_audio untouched
+    same = decode_audio(jnp.asarray(f32))
+    np.testing.assert_array_equal(np.asarray(same), f32)
