@@ -16,7 +16,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .common import apply_net, split_rngs
+from .common import apply_net, decode_audio, split_rngs
 from .state import NetState, adam, apply_grads
 
 

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Honest synthesis window-forward latency (slope-timed, hard-synced).
+
+Measures the full flagship generator forward for ONE 34-frame synthesis
+window (batch 1: WavEncoder convs over 36,267 samples + TCN over 34
+tokens + 4-layer bi-GRU + head), chained through a data dependency, for
+the scan and Pallas GRU implementations.  Replaces the round-1 numbers
+taken with jax.block_until_ready (which does not drain the axon tunnel's
+remote queue — see RESULTS.md "measurement correction").
+
+Usage: python tools/bench_synthesis.py [--impls scan pallas]
+"""
+
+import argparse
+import os
+import sys
+import time
+from types import SimpleNamespace
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--impls", nargs="*", default=["scan", "pallas"])
+    ap.add_argument("--unroll", type=int, default=1)
+    args_cli = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import __graft_entry__ as ge
+    from gesture_generation_from_trimodal_context_tpu.ops import recurrent
+    from gesture_generation_from_trimodal_context_tpu.models import factory
+    from gesture_generation_from_trimodal_context_tpu.train.common import (
+        build_pre_seq)
+
+    print("devices:", jax.devices(), file=sys.stderr)
+    recurrent.set_scan_unroll(args_cli.unroll)
+
+    args, bundle, lang, spk = ge._flagship(
+        hidden_size=300, n_layers=4, n_words=20000, wordembed_dim=300,
+        n_speakers=1400)
+    gen = bundle.generator
+    key = jax.random.PRNGKey(0)
+    gvars = factory.generator_init_variables(bundle, args, key, batch_size=1)
+    rs = np.random.RandomState(0)
+    in_text = jnp.asarray(rs.randint(0, 20000, (1, 34)), jnp.int32)
+    in_audio = jnp.asarray(0.1 * rs.randn(1, 36267), jnp.float32)
+    seed = jnp.asarray(0.1 * rs.randn(1, 34, 27), jnp.float32)
+    vids = jnp.asarray([3], jnp.int32)
+
+    results = {}
+    for impl in args_cli.impls:
+        recurrent.set_gru_impl(impl)
+        try:
+            def window_fwd(prev_out):
+                # chain: previous window's output seeds the next (the
+                # real synthesis seed chain, synthesis/engine.py)
+                pre_seq = build_pre_seq(prev_out, 4)
+                out, *_ = gen.apply(gvars, pre_seq, in_text, in_audio,
+                                    vids, train=False,
+                                    rngs={"noise": key})
+                return out
+            f = jax.jit(window_fwd)
+
+            def run(n, x):
+                for _ in range(n):
+                    x = f(x)
+                jax.device_get(x)
+                return x
+            run(3, seed)
+            best = None
+            for _ in range(3):
+                t0 = time.time(); run(100, seed); ts = time.time() - t0
+                t0 = time.time(); run(500, seed); tb = time.time() - t0
+                s = (tb - ts) / 400.0
+                best = s if best is None else min(best, s)
+            results[impl] = best
+            print("window fwd (B=1, full generator) %-7s %7.3f ms"
+                  % (impl, best * 1e3), flush=True)
+        finally:
+            recurrent.set_gru_impl("scan")
+    if len(results) == 2:
+        print("speedup (pallas vs scan): %.2fx"
+              % (results["scan"] / results["pallas"]))
+    win_s = 30 / 15.0  # stride frames / fps: real-time seconds per window
+    for impl, dt in results.items():
+        print("%s: %.0fx real time" % (impl, win_s / dt))
+
+
+if __name__ == "__main__":
+    main()
