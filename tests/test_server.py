@@ -68,3 +68,35 @@ def test_server_roundtrip(tiny_ckpt):
         assert json.loads(conn.getresponse().read())["status"] == "ok"
     finally:
         server.shutdown()
+
+
+def test_server_b64_seed_and_404(tiny_ckpt):
+    import base64
+    server = srv.serve(tiny_ckpt, port=0, warmup=False)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        # base64 audio + explicit 4-frame seed sequence
+        audio = (0.05 * np.random.RandomState(0)
+                 .randn(16000)).astype(np.float32)
+        seed = (0.01 * np.random.RandomState(1)
+                .randn(4, 27)).astype(np.float32)
+        body = json.dumps({
+            "audio_b64": base64.b64encode(audio.tobytes()).decode(),
+            "words": [["w1", 0.2, 0.4]],
+            "seed_seq": seed.tolist()})
+        conn.request("POST", "/synthesize", body=body,
+                     headers={"Content-Type": "application/json"})
+        resp = json.loads(conn.getresponse().read())
+        assert np.isfinite(np.asarray(resp["out_dir_vec"])).all()
+        assert resp["frames"] == 34
+
+        # unknown paths 404 on both verbs
+        conn.request("GET", "/nope")
+        assert conn.getresponse().status == 404
+        conn.request("POST", "/nope", body="{}")
+        assert conn.getresponse().status == 404
+    finally:
+        server.shutdown()
