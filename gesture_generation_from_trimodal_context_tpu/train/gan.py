@@ -110,6 +110,11 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
         gen_bs = gen_state.batch_stats
         use_div = z_type in ("speaker", "random") and w_reg > 0.0
 
+        # the generator consumes vids only for z_type='speaker'; drop
+        # them otherwise so the batched slices stay length-consistent
+        if z_type != "speaker":
+            vids = None
+
         # ---- one batched no-grad generator forward ----
         fake = out_rand = z_rand = None
         if train_d or use_div:
@@ -239,6 +244,9 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
         gen_bs0 = gen_state.batch_stats
         use_div = z_type in ("speaker", "random") and w_reg > 0.0
         B = target.shape[0]
+
+        if z_type != "speaker":
+            vids = None  # consumed only for z_type='speaker'
 
         # slice order: [grad | fake (train_d) | rand (use_div)]
         n_rep = 1 + int(train_d) + int(use_div)
