@@ -37,9 +37,9 @@ def main():
                          "per-forward path (all exact math)")
     ap.add_argument("--use_pallas", default="false",
                     help="Pallas-fused GRU kernels instead of lax.scan")
-    ap.add_argument("--steps_per_call", type=int, default=1,
-                    help="fuse K train steps into one program (amortizes "
-                         "tunnel dispatch latency)")
+    # NOTE: no --steps_per_call here — the slope timing below already
+    # cancels fixed per-sync dispatch overhead, so fusing K steps per
+    # call (train.py's --steps_per_call) would not change the number
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--unroll", type=int, default=2,
                     help="lax.scan unroll factor for the recurrent loops "

@@ -159,10 +159,11 @@ class SpeechMotionDataset:
                 # --audio_int16_transfer: ship PCM-precision int16 (half
                 # the host->device bytes; bit-exact for 16-bit-PCM-sourced
                 # audio).  The jitted steps decode in-graph
-                # (train/common.decode_audio).
+                # (train/common.decode_audio, same scale constant).
+                from ..train.common import AUDIO_INT16_SCALE as SCALE
                 out["in_audio"] = np.rint(np.clip(
-                    audio_fixed.astype(np.float32, copy=False) * 32767.0,
-                    -32767.0, 32767.0)).astype(np.int16)
+                    audio_fixed.astype(np.float32, copy=False) * SCALE,
+                    -SCALE, SCALE)).astype(np.int16)
             else:
                 out["in_audio"] = audio_fixed.astype(np.float32, copy=False)
         if want("in_spec"):
@@ -221,15 +222,15 @@ class BatchIterator:
             np.random.RandomState(self.seed + self.epoch).shuffle(order)
         self.epoch += 1
         n_batches = len(self)
-        if self.prefetch <= 0:
+        if self.workers > 1:
+            # the pool path honors workers even with prefetch<=0 (floor 1)
+            yield from self._iter_pool(order, n_batches)
+        elif self.prefetch <= 0:
             for bi in range(n_batches):
                 yield self.make_batch(
                     order[bi * self.batch_size:(bi + 1) * self.batch_size])
-            return
-        if self.workers == 1:
-            yield from self._iter_single(order, n_batches)
         else:
-            yield from self._iter_pool(order, n_batches)
+            yield from self._iter_single(order, n_batches)
 
     def _iter_single(self, order, n_batches):
         q = queue.Queue(maxsize=self.prefetch)
@@ -256,7 +257,7 @@ class BatchIterator:
         cond = threading.Condition()
         results = {}
         state = {"next": 0, "emitted": 0, "error": None}
-        max_pending = self.prefetch + self.workers
+        max_pending = max(1, self.prefetch) + self.workers
         bs = self.batch_size
 
         def worker():
@@ -292,7 +293,10 @@ class BatchIterator:
                 with cond:
                     while bi not in results and state["error"] is None:
                         cond.wait()
-                    if state["error"] is not None:
+                    if bi not in results:
+                        # batch bi itself failed (or its worker died):
+                        # every already-completed earlier batch has been
+                        # yielded, matching the single-worker error path
                         raise state["error"]
                     batch = results.pop(bi)
                     state["emitted"] += 1

@@ -13,6 +13,12 @@ Notes on fidelity:
 
 from typing import Any, Sequence, Union
 
+# flax-convention BatchNorm momentum (torch momentum 0.1):
+# running = m*running + (1-m)*batch.  The fused/folded GAN steps'
+# running-stat chain reconstruction (train/gan.py) depends on this
+# exact value — change them together.
+BN_MOMENTUM = 0.9
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -112,7 +118,7 @@ class BatchNorm(nn.Module):
     def __call__(self, x, use_running_average=None):
         ura = (self.use_running_average if use_running_average is None
                else use_running_average)
-        return nn.BatchNorm(use_running_average=ura, momentum=0.9,
+        return nn.BatchNorm(use_running_average=ura, momentum=BN_MOMENTUM,
                             epsilon=1e-5)(x)
 
 

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from .common import (apply_net, build_pre_seq, decode_audio, smooth_l1,
                      smooth_l1_none, split_rngs)
+from ..ops.layers import BN_MOMENTUM
 from .state import NetState, adam, apply_grads
 
 EPS = 1e-8
@@ -38,7 +39,15 @@ EPS = 1e-8
 def make_gan_train_step(bundle, args, grad_reduce=None):
     """grad_reduce: optional tree-map applied to gradients before the
     optimizer updates (the shard_map variant passes a pmean over the
-    data axis; None for the jit/pjit path where XLA reduces)."""
+    data axis; None for the jit/pjit path where XLA reduces).
+
+    MAINTENANCE NOTE: the loss math exists in three measured variants
+    below (step_body = faithful, fused_step_body, folded_step_body) that
+    intentionally differ in forward batching, not in the formulas.  A
+    change to the D loss, Huber/KLD/div-reg terms, or the BN stat
+    bookkeeping must be applied to ALL THREE;
+    tests/test_train_steps.py::test_fused_gan_step_matches_faithful_exactly
+    pins their equivalence."""
     gen, dis = bundle.generator, bundle.discriminator
     gen_tx = adam(args.learning_rate)
     dis_tx = adam(args.learning_rate * args.discriminator_lr_weight)
@@ -67,12 +76,13 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
         Every BatchNorm in the generator sits in the WavEncoder and sees
         the identical raw-audio batch on each of the step's forwards, so
         this reproduces the reference's sequential-update bookkeeping
-        bit-for-math (momentum m = 0.9, ops/layers.py)."""
+        bit-for-math (momentum m = BN_MOMENTUM, ops/layers.py)."""
         def leaf(s, r):
-            b_term = r - 0.9 * s          # == (1-m) * b
+            m = BN_MOMENTUM
+            b_term = r - m * s            # == (1-m) * b
             out = s
             for _ in range(n):
-                out = 0.9 * out + b_term
+                out = m * out + b_term
             return out
         return jax.tree_util.tree_map(leaf, s0, r_once)
 
@@ -162,7 +172,8 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
                 # s2 = m*r_real + (r_fake - m*s0)
                 s0 = dis_state.batch_stats
                 bs = jax.tree_util.tree_map(
-                    lambda s, rr: 0.9 * rr[0] + (rr[1] - 0.9 * s), s0, bs2)
+                    lambda s, rr: BN_MOMENTUM * rr[0]
+                    + (rr[1] - BN_MOMENTUM * s), s0, bs2)
                 return loss, bs
             (d_loss, d_bs), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(dis_state.params)
@@ -286,7 +297,8 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
                                  + jnp.log(1.0 - d_both[1] + EPS))
                 s0 = dis_state.batch_stats
                 bs = jax.tree_util.tree_map(
-                    lambda s, rr: 0.9 * rr[0] + (rr[1] - 0.9 * s), s0, bs2)
+                    lambda s, rr: BN_MOMENTUM * rr[0]
+                    + (rr[1] - BN_MOMENTUM * s), s0, bs2)
                 return loss, bs
             (d_loss, d_bs), d_grads = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(dis_state.params)

@@ -80,7 +80,7 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
         # math, see ops/pallas_gru.py)
         from ..ops.recurrent import set_gru_impl
         set_gru_impl("pallas")
-    if getattr(args, "scan_unroll", 1) and args.scan_unroll > 1:
+    if (getattr(args, "scan_unroll", 1) or 1) > 1:
         from ..ops.recurrent import set_scan_unroll
         set_scan_unroll(args.scan_unroll)
     if getattr(args, "rnn_bf16", False):
@@ -530,7 +530,8 @@ def evaluate_sample_and_save_video(epoch, prefix, test_loader, gen_vars,
         audio_npy = np.asarray(audio[0]) if audio is not None else None
         if audio_npy is not None and audio_npy.dtype == np.int16:
             # int16 PCM transfer mode (--audio_int16_transfer)
-            audio_npy = audio_npy.astype(np.float32) / 32767.0
+            from .common import AUDIO_INT16_SCALE
+            audio_npy = audio_npy.astype(np.float32) / AUDIO_INT16_SCALE
 
         # time-range overlay (reference train.py:376-380)
         aux_str = None

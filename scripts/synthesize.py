@@ -227,7 +227,9 @@ if __name__ == "__main__":
     argv = list(sys.argv[1:])
     text_arg = None
     for i, a in enumerate(argv):
-        if a == "--text" and i + 1 < len(argv):
+        if a == "--text":
+            if i + 1 >= len(argv):
+                raise SystemExit("--text requires a value")
             text_arg = argv[i + 1]
             del argv[i:i + 2]
             break
