@@ -126,6 +126,11 @@ def _tpu_options():
     # (carries/gates/recurrent matmul); params and optimizer state stay
     # fp32 (ops/recurrent.set_rnn_dtype)
     add(_Opt("rnn_bf16", str2bool, False))
+    # upload the ENTIRE train+val sets to HBM once (int16 audio; the
+    # published TED cache fits a v5e chip) and gather microbatches
+    # in-graph — per-call host->device traffic becomes a few hundred
+    # bytes of indices (train/resident.py; multimodal_context only)
+    add(_Opt("device_resident_data", str2bool, False))
     # ship raw audio host->device as int16 PCM (half the bytes of fp32;
     # bit-exact for audio decoded from 16-bit PCM sources like the TED
     # recordings); jitted steps decode in-graph (train/common.decode_audio)

@@ -543,3 +543,47 @@ def make_gan_multi_step(bundle, args, n_steps):
         return gen_state, dis_state, metrics  # metrics stacked (n_steps,)
 
     return multi_step, gen_tx, dis_tx
+
+
+def make_gan_resident_multi_step(bundle, args, n_steps):
+    """Device-resident-data variant of make_gan_multi_step
+    (--device_resident_data): the ENTIRE training set lives in HBM as a
+    dict of stacked per-sample tensors (audio int16, text int32,
+    target_vec f32, vid_indices int32), and each fused call receives only
+    an (n_steps, B) int32 index matrix.  Microbatches are gathered
+    in-graph (jnp.take fuses into the step), so the host->device traffic
+    per call is a few KB of indices instead of ~n_steps*12 MB of batch
+    data.
+
+    Motivation (TPU-native + dev-environment): the published TED cache
+    at int16 audio is ~11 GB — it FITS in a v5e chip's 16 GB HBM, which
+    turns the input pipeline into an in-HBM gather at memory bandwidth.
+    On the axon dev tunnel this is also the difference between
+    transfer-bound (~15-100 MB/s link, which additionally leaks host RAM
+    per transfer) and compute-bound training.
+
+    `data` is NOT donated (it persists across calls); gen/dis states are.
+    Semantically identical to the per-batch step on the same indices.
+    """
+    step, gen_tx, dis_tx = make_gan_train_step(bundle, args)
+    body = step.body
+
+    @partial(jax.jit, static_argnames=("train_d", "add_gan"),
+             donate_argnames=("gen_state", "dis_state"))
+    def resident_multi_step(gen_state, dis_state, data, idx_stack, rng,
+                            train_d, add_gan):
+        def scan_body(carry, xs):
+            g, d = carry
+            idx, k = xs
+            batch_k = {key: jnp.take(v, idx, axis=0)
+                       for key, v in data.items()}
+            g, d, m = body(g, d, batch_k, jax.random.fold_in(rng, k),
+                           train_d, add_gan)
+            return (g, d), m
+
+        ks = jnp.arange(idx_stack.shape[0])
+        (gen_state, dis_state), metrics = jax.lax.scan(
+            scan_body, (gen_state, dis_state), (idx_stack, ks))
+        return gen_state, dis_state, metrics  # metrics stacked (n_steps,)
+
+    return resident_multi_step, gen_tx, dis_tx

@@ -43,11 +43,18 @@ LOSS_METER_NAMES = ("loss", "var_loss", "gen", "dis", "KLD", "DIV_REG")
 
 
 def _device_batch(batch, mesh):
-    """Ship the numeric parts of a host batch to the mesh."""
+    """Ship the numeric parts of a host batch to the mesh.
+
+    Entries that are already device arrays (resident-data eval batches,
+    train/resident.py) pass through untouched."""
     num = {k: v for k, v in batch.items()
            if isinstance(v, np.ndarray) and v.dtype != object
            and not k.startswith("aux_")}
-    return mesh_lib.shard_batch(num, mesh)
+    out = dict(mesh_lib.shard_batch(num, mesh))
+    for k, v in batch.items():
+        if isinstance(v, jax.Array):
+            out[k] = v
+    return out
 
 
 def _random_vids(speaker_model, batch_size, rs):
@@ -185,6 +192,38 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
     eval_step = make_eval_step(bundle, args,
                                np.array(args.mean_dir_vec).squeeze())
 
+    # ---- device-resident dataset mode (train/resident.py): the whole
+    # train + val sets live in HBM; steps gather microbatches in-graph ----
+    resident_train = None
+    resident_step_fns = {}
+    video_loader = test_loader  # sample videos keep the host loader
+    if getattr(args, "device_resident_data", False):
+        if model != "multimodal_context":
+            raise ValueError("--device_resident_data currently supports "
+                             "the multimodal_context family")
+        if use_shard_map or tp_devices > 1:
+            raise ValueError("--device_resident_data requires "
+                             "dp_strategy=jit and tp_devices=1")
+        from . import resident
+        est = resident.estimate_bytes(train_loader.dataset) \
+            + resident.estimate_bytes(test_loader.dataset)
+        logging.info("device-resident data: ~%.2f GB estimated", est / 1e9)
+        resident_train = resident.build_resident_data(
+            train_loader.dataset, speaker_model,
+            include_vids=isinstance(speaker_model, Vocab), label="train")
+        resident_val = resident.build_resident_data(
+            test_loader.dataset, speaker_model, include_vids=False,
+            label="val")
+        test_loader = resident.ResidentBatchIterator(
+            resident_val, len(test_loader.dataset), args.batch_size)
+        from .gan import make_gan_resident_multi_step
+
+        def _resident_fn(k):  # one specialization per group length
+            if k not in resident_step_fns:
+                resident_step_fns[k] = make_gan_resident_multi_step(
+                    bundle, args, k)[0]
+            return resident_step_fns[k]
+
     # ---- optional true resume (beyond the reference, SURVEY.md §5: the
     # reference always restarts from epoch 0 after a crash) ----
     start_epoch = 0
@@ -237,6 +276,25 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
                 return {"params": gen_state.params,
                         "batch_stats": gen_state.batch_stats}
 
+            def _save_last_checkpoint():
+                """Overwrite <name>_checkpoint_last.bin after each epoch's
+                train pass: crash recovery / chunked --resume_checkpoint
+                (beyond the reference, which can only restart from 0)."""
+                os.makedirs(args.model_save_path, exist_ok=True)
+                ckpt_lib.save_checkpoint({
+                    "args": args, "epoch": epoch, "lang_model": lang_model,
+                    "speaker_model": speaker_model, "pose_dim": pose_dim,
+                    "gen_vars": jax.device_get(current_gen_vars()),
+                    "dis_vars": (jax.device_get(
+                        {"params": dis_state.params,
+                         "batch_stats": dis_state.batch_stats})
+                        if dis_state is not None else None),
+                    "gen_opt": jax.device_get(gen_state.opt_state),
+                    "dis_opt": (jax.device_get(dis_state.opt_state)
+                                if dis_state is not None else None),
+                }, "{}/{}_checkpoint_last.bin".format(
+                    args.model_save_path, args.name))
+
             val_metrics = evaluate_testset(
                 test_loader, current_gen_vars(), eval_step, bundle, args,
                 embed_space_evaluator, speaker_model, mesh, rs, root_rng)
@@ -282,7 +340,7 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
             if args.save_result_video and epoch % save_sample_interval == 0:
                 try:
                     evaluate_sample_and_save_video(
-                        epoch, args.name, test_loader, current_gen_vars(),
+                        epoch, args.name, video_loader, current_gen_vars(),
                         eval_step, args, lang_model, speaker_model, rs)
                 except Exception as e:  # video writing must never kill a run
                     logging.warning("sample video failed: %s", e)
@@ -357,6 +415,48 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
             interval_start_time = time.time()
             iter_idx = -1
             interval_iters = 0
+
+            if resident_train is not None:
+                # ---- device-resident train pass: only (K, B) int32
+                # index stacks cross the host->device boundary ----
+                train_d = (epoch > args.loss_warmup
+                           and args.loss_gan_weight > 0.0)
+                add_gan = epoch > args.loss_warmup
+                batch_size = args.batch_size
+                n_batches = len(train_loader)
+                perm = rs.permutation(len(train_loader.dataset))
+                perm = perm[:n_batches * batch_size].astype(np.int32)
+                idx_matrix = perm.reshape(n_batches, batch_size)
+                for s in range(0, n_batches, steps_per_call):
+                    stack = idx_matrix[s:s + steps_per_call]
+                    k = stack.shape[0]
+                    iter_idx += k
+                    interval_iters += k
+                    rng = jax.random.fold_in(root_rng, global_iter + 1)
+                    global_iter += k
+                    gen_state, dis_state, loss_dict = _resident_fn(k)(
+                        gen_state, dis_state, resident_train, stack, rng,
+                        train_d=train_d, add_gan=add_gan)
+                    pending.append((global_iter, batch_size, loss_dict))
+                    if interval_iters >= print_interval:
+                        flush_pending()
+                        summary = ("EP {} ({:3d}) | {:>8s}, "
+                                   "{:.0f} samples/s | ").format(
+                            epoch, iter_idx + 1, time_since(start),
+                            batch_size * interval_iters
+                            / max(1e-6, time.time() - interval_start_time))
+                        for meter in loss_meters:
+                            if meter.count > 0:
+                                summary += "{}: {:.3f}, ".format(
+                                    meter.name, meter.avg)
+                                meter.reset()
+                        logging.info(summary)
+                        interval_start_time = time.time()
+                        interval_iters = 0
+                flush_pending()
+                _save_last_checkpoint()
+                continue
+
             for group in grouped_batches():
                 iter_idx += len(group)
                 interval_iters += len(group)
@@ -424,6 +524,7 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
                     interval_iters = 0
 
             flush_pending()
+            _save_last_checkpoint()
             if profiling:
                 jax.profiler.stop_trace()
 

@@ -111,3 +111,30 @@ def test_shard_map_with_tp_rejected(tmp_path):
                                           "--tp_devices", "2"])
     with pytest.raises(ValueError, match="shard_map"):
         train_epochs(args, [], [], None, 27)
+
+
+def test_train_cli_device_resident_data(tmp_path):
+    """--device_resident_data: the whole train+val sets upload to the
+    device once (int16 audio), microbatches are gathered in-graph, and
+    the driver trains one epoch to a checkpoint (incl. the per-epoch
+    _checkpoint_last.bin for chunked resume)."""
+    base = tmp_path / "data" / "ted_dataset"
+    for split in ("lmdb_train", "lmdb_val", "lmdb_test"):
+        synthetic.make_synthetic_raw_store(str(base / split), n_videos=2,
+                                           clips_per_video=1,
+                                           clip_duration_s=8.0,
+                                           seed=hash(split) % 79)
+    args = _mmc_args(tmp_path, base, ["--device_resident_data", "true",
+                                      "--steps_per_call", "2"])
+    train_cli.main(args)
+    out = tmp_path / "out"
+    assert (out / "multimodal_context_checkpoint_best.bin").exists()
+    assert (out / "multimodal_context_checkpoint_last.bin").exists()
+
+    # chunked resume from the per-epoch last-checkpoint
+    args2 = _mmc_args(tmp_path, base, [
+        "--device_resident_data", "true", "--steps_per_call", "2",
+        "--epochs", "2",
+        "--resume_checkpoint",
+        str(out / "multimodal_context_checkpoint_last.bin")])
+    train_cli.main(args2)

@@ -327,3 +327,85 @@ def test_fused_gan_step_speaker_z_runs():
     assert {"loss", "gen", "dis", "KLD", "DIV_REG"} <= set(metrics2)
     for k, v in metrics2.items():
         assert np.isfinite(float(v)), "fold/" + k
+
+
+def test_resident_multi_step_matches_per_batch():
+    """make_gan_resident_multi_step on (K,B) index stacks must reproduce
+    the per-batch jit step exactly (same math, in-graph gather; int16
+    audio decodes to the same values both ways)."""
+    import copy
+    from types import SimpleNamespace
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gesture_generation_from_trimodal_context_tpu.models import factory
+    from gesture_generation_from_trimodal_context_tpu.train.gan import (
+        make_gan_resident_multi_step, make_gan_train_step)
+    from gesture_generation_from_trimodal_context_tpu.train.state import (
+        make_net_state)
+    from gesture_generation_from_trimodal_context_tpu.data.vocab import Vocab
+
+    lang = Vocab("w")
+    for w in ("alpha", "beta", "gamma"):
+        lang.index_word(w)
+    args = SimpleNamespace(
+        model="multimodal_context", n_poses=34, n_pre_poses=4,
+        hidden_size=24, n_layers=2, dropout_prob=0.0,
+        input_context="both", freeze_wordembed=False, wordembed_dim=16,
+        motion_resampling_framerate=15, z_type="none",
+        learning_rate=5e-4, discriminator_lr_weight=0.2,
+        loss_regression_weight=500.0, loss_gan_weight=5.0,
+        loss_kld_weight=0.1, loss_reg_weight=0.05, loss_warmup=0,
+        fused_gen_forwards=True)
+    bundle = factory.init_model(args, lang, None, 27)
+    gvars = factory.generator_init_variables(bundle, args,
+                                             jax.random.PRNGKey(7), 2)
+    dvars = factory.discriminator_init_variables(bundle, args,
+                                                 jax.random.PRNGKey(7), 2)
+
+    rng = np.random.RandomState(0)
+    N, B, K = 10, 4, 2
+    audio_f32 = (0.1 * rng.randn(N, 36267)).astype(np.float32)
+    audio_i16 = np.rint(np.clip(audio_f32 * 32767.0, -32767.0,
+                                32767.0)).astype(np.int16)
+    data = {
+        "in_text": jnp.asarray(rng.randint(0, lang.n_words, (N, 34)),
+                               jnp.int32),
+        "in_audio": jnp.asarray(audio_i16),
+        "target_vec": jnp.asarray(0.1 * rng.randn(N, 34, 27), jnp.float32),
+    }
+    idx_stack = np.asarray([[0, 3, 5, 9], [2, 4, 6, 8]], np.int32)
+
+    # resident fused path
+    res_step, gen_tx, dis_tx = make_gan_resident_multi_step(bundle, args, K)
+    g1 = make_net_state(copy.deepcopy(gvars), gen_tx)
+    d1 = make_net_state(copy.deepcopy(dvars), dis_tx)
+    root = jax.random.PRNGKey(13)
+    g1, d1, m1 = res_step(g1, d1, data, idx_stack, root,
+                          train_d=True, add_gan=True)
+
+    # per-batch path on the identical gathered host batches
+    step, gen_tx2, dis_tx2 = make_gan_train_step(bundle, args)
+    g2 = make_net_state(copy.deepcopy(gvars), gen_tx2)
+    d2 = make_net_state(copy.deepcopy(dvars), dis_tx2)
+    host = jax.device_get(data)
+    for k in range(K):
+        idx = idx_stack[k]
+        batch = {key: jnp.asarray(v[idx]) for key, v in host.items()}
+        g2, d2, mk = step(g2, d2, batch, jax.random.fold_in(root, k),
+                          train_d=True, add_gan=True)
+    # deterministic forward (z_type none, dropout 0).  Tolerances: one
+    # Adam step moves a weight by up to ~lr regardless of gradient
+    # magnitude, so low-bit float-reorder diffs (scan+gather fusion vs
+    # standalone jit) shift params by O(lr)=5e-4 per step — same bound
+    # as test_fused_gan_step_matches_faithful_exactly.
+    for name, atol, t1, t2 in (("gen", 4e-3, g1.params, g2.params),
+                               ("dis", 4e-3, d1.params, d2.params),
+                               ("gen_bn", 1e-3, g1.batch_stats,
+                                g2.batch_stats)):
+        jax.tree_util.tree_map(
+            lambda a, b, _n=name, _atol=atol: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=_atol, err_msg=_n),
+            t1, t2)
+    np.testing.assert_allclose(np.asarray(m1["loss"][-1]),
+                               np.asarray(mk["loss"]), rtol=1e-3)
