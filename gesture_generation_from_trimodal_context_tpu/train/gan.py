@@ -568,22 +568,42 @@ def make_gan_resident_multi_step(bundle, args, n_steps):
     step, gen_tx, dis_tx = make_gan_train_step(bundle, args)
     body = step.body
 
+    # The gather lives in its OWN program (not inside the scanned train
+    # program, whose large loop-invariant inputs XLA copies into temps)
+    # and uses the in-place row-DMA gather of train/resident.py — a
+    # jnp.take here allocates an operand-sized HBM temp and OOMs at the
+    # published dataset scale (see resident.gather_rows).
+    from ..ops import audio as audio_ops
+    from .resident import gather_batch
+    audio_len = audio_ops.calc_audio_length_from_motion_length(
+        args.n_poses, args.motion_resampling_framerate)
+
+    @jax.jit
+    def gather_stack(data, idx_stack):
+        flat = idx_stack.reshape(-1)
+        batch = gather_batch(data, flat, audio_len)
+        return {k: v.reshape(idx_stack.shape + v.shape[1:])
+                for k, v in batch.items()}
+
     @partial(jax.jit, static_argnames=("train_d", "add_gan"),
-             donate_argnames=("gen_state", "dis_state"))
-    def resident_multi_step(gen_state, dis_state, data, idx_stack, rng,
-                            train_d, add_gan):
+             donate_argnames=("gen_state", "dis_state", "batches"))
+    def multi_step(gen_state, dis_state, batches, rng, train_d, add_gan):
         def scan_body(carry, xs):
             g, d = carry
-            idx, k = xs
-            batch_k = {key: jnp.take(v, idx, axis=0)
-                       for key, v in data.items()}
+            batch_k, k = xs
             g, d, m = body(g, d, batch_k, jax.random.fold_in(rng, k),
                            train_d, add_gan)
             return (g, d), m
 
-        ks = jnp.arange(idx_stack.shape[0])
+        ks = jnp.arange(jax.tree_util.tree_leaves(batches)[0].shape[0])
         (gen_state, dis_state), metrics = jax.lax.scan(
-            scan_body, (gen_state, dis_state), (idx_stack, ks))
+            scan_body, (gen_state, dis_state), (batches, ks))
         return gen_state, dis_state, metrics  # metrics stacked (n_steps,)
+
+    def resident_multi_step(gen_state, dis_state, data, idx_stack, rng,
+                            train_d, add_gan):
+        batches = gather_stack(data, jnp.asarray(idx_stack))
+        return multi_step(gen_state, dis_state, batches, rng,
+                          train_d=train_d, add_gan=add_gan)
 
     return resident_multi_step, gen_tx, dis_tx

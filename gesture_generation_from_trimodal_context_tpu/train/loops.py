@@ -215,7 +215,8 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
             test_loader.dataset, speaker_model, include_vids=False,
             label="val")
         test_loader = resident.ResidentBatchIterator(
-            resident_val, len(test_loader.dataset), args.batch_size)
+            resident_val, len(test_loader.dataset), args.batch_size,
+            audio_len=test_loader.dataset.expected_audio_length)
         from .gan import make_gan_resident_multi_step
 
         def _resident_fn(k):  # one specialization per group length

@@ -25,6 +25,42 @@ import jax.numpy as jnp
 
 TRAIN_FIELDS = ("in_text", "in_audio", "target_vec")
 
+# Resident arrays keep their trailing dim a multiple of the TPU lane
+# width: XLA's gather/take of a 2-D s16[149600, 36267] operand (unaligned
+# lanes) materializes a full relayout copy of the operand (measured:
+# +10.1 GB HBM temp -> OOM), while aligned operands read in place.
+LANE = 128
+
+
+def pad_lanes(arr):
+    """Zero-pad the last axis up to a LANE multiple (2-D arrays only)."""
+    if arr.ndim != 2 or arr.shape[1] % LANE == 0:
+        return arr
+    pad = LANE - arr.shape[1] % LANE
+    return np.pad(arr, ((0, 0), (0, pad)))
+
+
+def gather_rows(arr, idx):
+    """Row gather that reads the operand IN PLACE.
+
+    jnp.take / x.at[idx].get on a large resident array allocates an
+    operand-sized (or half-sized) HBM temp on TPU (measured); a scan of
+    dynamic_slice rows compiles to per-row DMAs with ZERO temp.  idx is
+    (B,) int32; returns (B, ...) rows.
+    """
+    def body(c, j):
+        return c, jax.lax.dynamic_slice_in_dim(arr, j, 1, axis=0)[0]
+    return jax.lax.scan(body, None, idx)[1]
+
+
+def gather_batch(data, idx, audio_len=None):
+    """Gather one batch dict from resident data; slices padded audio
+    back to audio_len when given."""
+    out = {k: gather_rows(v, idx) for k, v in data.items()}
+    if audio_len is not None and "in_audio" in out:
+        out["in_audio"] = out["in_audio"][:, :audio_len]
+    return out
+
 
 def estimate_bytes(dataset):
     """Rough resident footprint: int16 audio + int32 text + f32 targets."""
@@ -63,6 +99,7 @@ def build_resident_data(dataset, speaker_model, include_vids,
 
     host = {k: np.concatenate([p[k] for p in parts])
             for k in parts[0].keys()}
+    host["in_audio"] = pad_lanes(host["in_audio"])
     total = sum(v.nbytes for v in host.values())
     logging.info("uploading %s resident dataset: %d samples, %.2f GB "
                  "(audio int16)", label, n, total / 1e9)
@@ -79,13 +116,12 @@ class ResidentBatchIterator:
     Deterministic order, drop-last like the host iterator.
     """
 
-    def __init__(self, data, n_samples, batch_size):
+    def __init__(self, data, n_samples, batch_size, audio_len=None):
         self.data = data
         self.n_samples = n_samples
         self.batch_size = batch_size
         self._gather = jax.jit(
-            lambda d, idx: {k: jnp.take(v, idx, axis=0)
-                            for k, v in d.items()})
+            lambda d, idx: gather_batch(d, idx, audio_len))
 
     def __len__(self):
         return self.n_samples // self.batch_size
