@@ -152,7 +152,17 @@ def main(mode, checkpoint_path, option, data_base="data/ted_dataset",
         n_saved = 0
         store = open_raw_store(test_data_path)
         keys = store.keys()
+        attempts = 0
+        max_attempts = max(50, 10 * len(keys))
         while n_saved < n_generations:
+            attempts += 1
+            if attempts > max_attempts:
+                # beyond-reference guard: the reference loops forever when
+                # no clip satisfies the 5-12 s duration window
+                raise SystemExit(
+                    "no clip in %s satisfies the %s s duration filter "
+                    "after %d draws" % (test_data_path,
+                                        clip_duration_range, attempts - 1))
             key = random.choice(keys)
             video = store.get(key)
             vid = video["vid"]
