@@ -126,6 +126,10 @@ def _tpu_options():
     # (carries/gates/recurrent matmul); params and optimizer state stay
     # fp32 (ops/recurrent.set_rnn_dtype)
     add(_Opt("rnn_bf16", str2bool, False))
+    # DOCUMENTED DEVIATION: clamp discriminator probabilities into
+    # [c, 1-c] before the ns-GAN logs; 0 (default) = exact reference
+    # math, whose log(0) hits inf when D saturates (train/gan.py)
+    add(_Opt("gan_prob_clamp", float, 0.0))
     # upload the ENTIRE train+val sets to HBM once (int16 audio; the
     # published TED cache fits a v5e chip) and gather microbatches
     # in-graph — per-call host->device traffic becomes a few hundred

@@ -59,6 +59,23 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
     w_kld = args.loss_kld_weight
     w_reg = args.loss_reg_weight
     z_type = gen.z_type
+    # DOCUMENTED DEVIATION (--gan_prob_clamp c, default 0 = reference
+    # math): clamp D's probability into [c, 1-c] before the logs.  The
+    # reference's ns-GAN loss hits log(0) = inf once D saturates to
+    # exact 0/1 outputs (observed at epoch 39 of the saturated synthetic
+    # full-recipe run, RESULTS.md); the clamp bounds losses/gradients so
+    # long runs survive D saturation.
+    prob_clamp = float(getattr(args, "gan_prob_clamp", 0.0) or 0.0)
+
+    def log_d(p):
+        if prob_clamp > 0.0:
+            p = jnp.clip(p, prob_clamp, 1.0 - prob_clamp)
+        return jnp.log(p + EPS)
+
+    def log_1md(p):
+        if prob_clamp > 0.0:
+            p = jnp.clip(p, prob_clamp, 1.0 - prob_clamp)
+        return jnp.log(1.0 - p + EPS)
 
     def gen_fwd(params, bstats, pre_seq, in_text, in_audio, vids, rng):
         rngs = split_rngs(rng, ("noise", "dropout"))
@@ -166,8 +183,8 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
                     lambda poses, k: dis_fwd(d_params, dis_state.batch_stats,
                                              poses, k))(
                     both, jnp.stack([r[1], r[2]]))
-                loss = -jnp.mean(jnp.log(d_both[0] + EPS)
-                                 + jnp.log(1.0 - d_both[1] + EPS))
+                loss = -jnp.mean(log_d(d_both[0])
+                                 + log_1md(d_both[1]))
                 # exact chain: r_slice = m*s0 + (1-m)*b_slice  =>
                 # s2 = m*r_real + (r_fake - m*s0)
                 s0 = dis_state.batch_stats
@@ -188,7 +205,7 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
             huber = smooth_l1(out, target, beta=0.1)
             d_out, d_bs = dis_fwd(dis_state.params, dis_state.batch_stats,
                                   out, r[4])
-            gen_err = -jnp.mean(jnp.log(d_out + EPS))
+            gen_err = -jnp.mean(log_d(d_out))
 
             aux_metrics = {"loss": w_rg * huber}
             loss = w_rg * huber
@@ -293,8 +310,8 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
                     lambda poses, k: dis_fwd(d_params, dis_state.batch_stats,
                                              poses, k))(
                     both, jnp.stack([r[1], r[2]]))
-                loss = -jnp.mean(jnp.log(d_both[0] + EPS)
-                                 + jnp.log(1.0 - d_both[1] + EPS))
+                loss = -jnp.mean(log_d(d_both[0])
+                                 + log_1md(d_both[1]))
                 s0 = dis_state.batch_stats
                 bs = jax.tree_util.tree_map(
                     lambda s, rr: BN_MOMENTUM * rr[0]
@@ -312,7 +329,7 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
             huber = smooth_l1(out, target, beta=0.1)
             d_out, d_bs = dis_fwd(dis_state.params, dis_state.batch_stats,
                                   out, r[4])
-            gen_err = -jnp.mean(jnp.log(d_out + EPS))
+            gen_err = -jnp.mean(log_d(d_out))
 
             aux_metrics = {"loss": w_rg * huber}
             loss = w_rg * huber
@@ -374,8 +391,8 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
                 d_real, bs1 = dis_fwd(d_params, dis_state.batch_stats,
                                       target, r[1])
                 d_fake, bs2 = dis_fwd(d_params, bs1, fake, r[2])
-                loss = -jnp.mean(jnp.log(d_real + EPS)
-                                 + jnp.log(1.0 - d_fake + EPS))
+                loss = -jnp.mean(log_d(d_real)
+                                 + log_1md(d_fake))
                 return loss, bs2
 
             (d_loss, d_bs), d_grads = jax.value_and_grad(
@@ -391,7 +408,7 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
             huber = smooth_l1(out, target, beta=0.1)
             d_out, d_bs = dis_fwd(dis_state.params, dis_state.batch_stats,
                                   out, r[4])
-            gen_err = -jnp.mean(jnp.log(d_out + EPS))
+            gen_err = -jnp.mean(log_d(d_out))
 
             aux_metrics = {"loss": w_rg * huber}
             loss = w_rg * huber

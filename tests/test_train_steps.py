@@ -409,3 +409,58 @@ def test_resident_multi_step_matches_per_batch():
             t1, t2)
     np.testing.assert_allclose(np.asarray(m1["loss"][-1]),
                                np.asarray(mk["loss"]), rtol=1e-3)
+
+
+def test_gan_prob_clamp_bounds_saturated_d():
+    """--gan_prob_clamp: with a saturated discriminator (huge logits ->
+    exact 0/1 sigmoid outputs) the reference loss is inf; the clamped
+    loss and its gradients stay finite.  clamp=0 keeps reference math."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    EPS = 1e-8
+
+    def mk_loss(clamp):
+        def log_d(p):
+            if clamp > 0:
+                p = jnp.clip(p, clamp, 1.0 - clamp)
+            return jnp.log(p + EPS)
+
+        def log_1md(p):
+            if clamp > 0:
+                p = jnp.clip(p, clamp, 1.0 - clamp)
+            return jnp.log(1.0 - p + EPS)
+
+        def loss(logits_real, logits_fake):
+            return -jnp.mean(log_d(jax.nn.sigmoid(logits_real))
+                             + log_1md(jax.nn.sigmoid(logits_fake)))
+        return loss
+
+    # saturated D: sigmoid(+-60) rounds to exact 1/0 in fp32.  EPS keeps
+    # the reference LOSS finite, but its gradient through the probability
+    # is -1/(p+eps) ~ 1e8 — the weight-explosion mechanism observed at
+    # epoch 39 of the synthetic full-recipe run (RESULTS.md).
+    real = jnp.asarray([60.0, 60.0])
+    fake = jnp.asarray([60.0, -60.0])  # one fake confidently 'real'
+
+    def prob_grad(clamp):
+        # gradient of -log(p) w.r.t. the probability itself (worst case;
+        # the sigmoid jacobian only rescales it)
+        def f(p):
+            if clamp > 0:
+                p = jnp.clip(p, clamp, 1 - clamp)
+            return -jnp.mean(jnp.log(p + EPS))
+        return jax.grad(f)(jnp.asarray([1e-8, 0.5]))
+
+    g_ref = prob_grad(0.0)
+    g_clamped = prob_grad(1e-4)
+    assert float(jnp.abs(g_ref).max()) > 1e7       # unbounded reference
+    assert float(jnp.abs(g_clamped).max()) < 1e5   # bounded under clamp
+
+    # end-to-end: both losses finite, clamped gradients finite/bounded
+    clamped, grads = jax.value_and_grad(mk_loss(1e-4), argnums=(0, 1))(
+        real, fake)
+    assert np.isfinite(float(clamped))
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
