@@ -37,13 +37,14 @@ def slope_time(fn, x0, n_small=100, n_big=500):
         return x
 
     run(3, x0)  # compile + warm
-    best = None
+    slopes = []
     for _ in range(3):
         t0 = time.time(); run(n_small, x0); t_small = time.time() - t0
         t0 = time.time(); run(n_big, x0); t_big = time.time() - t0
-        s = (t_big - t_small) / (n_big - n_small)
-        best = s if best is None else min(best, s)
-    return best
+        slopes.append((t_big - t_small) / (n_big - n_small))
+    # median, not min: min() reads optimistically low under tunnel noise
+    # (same correction bench.py received)
+    return float(np.median(slopes))
 
 
 def main():

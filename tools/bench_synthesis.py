@@ -71,15 +71,17 @@ def main():
                 jax.device_get(x)
                 return x
             run(3, seed)
-            best = None
+            slopes = []
             for _ in range(3):
                 t0 = time.time(); run(100, seed); ts = time.time() - t0
                 t0 = time.time(); run(500, seed); tb = time.time() - t0
-                s = (tb - ts) / 400.0
-                best = s if best is None else min(best, s)
-            results[impl] = best
+                slopes.append((tb - ts) / 400.0)
+            # median, not min: min() reads optimistically low under
+            # tunnel noise (same correction bench.py received)
+            med = float(np.median(slopes))
+            results[impl] = med
             print("window fwd (B=1, full generator) %-7s %7.3f ms"
-                  % (impl, best * 1e3), flush=True)
+                  % (impl, med * 1e3), flush=True)
         finally:
             recurrent.set_gru_impl("scan")
     if len(results) == 2:
