@@ -130,10 +130,18 @@ def _tpu_options():
     # [c, 1-c] before the ns-GAN logs; 0 (default) = exact reference
     # math, whose log(0) hits inf when D saturates (train/gan.py)
     add(_Opt("gan_prob_clamp", float, 0.0))
+    # collapse playbook: when resuming from a run that aborted via the
+    # non-finite guard (collapse_info.json marker), auto-enable the
+    # clamp so long unattended runs recover without intervention
+    # (train/loops.py _apply_collapse_playbook); only active on
+    # --resume_checkpoint, and an explicit --gan_prob_clamp wins
+    add(_Opt("collapse_playbook", str2bool, True))
     # upload the ENTIRE train+val sets to HBM once (int16 audio; the
     # published TED cache fits a v5e chip) and gather microbatches
     # in-graph — per-call host->device traffic becomes a few hundred
-    # bytes of indices (train/resident.py; multimodal_context only)
+    # bytes of indices (train/resident.py; all five families; on a
+    # multi-device data mesh the rows are round-robin sharded over the
+    # mesh and gathered per shard)
     add(_Opt("device_resident_data", str2bool, False))
     # ship raw audio host->device as int16 PCM (half the bytes of fp32;
     # bit-exact for audio decoded from 16-bit PCM sources like the TED

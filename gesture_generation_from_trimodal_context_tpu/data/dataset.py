@@ -188,12 +188,17 @@ class SpeechMotionDataset:
             out["word_lengths"] = word_lengths
 
         out["aux_vids"] = [self.store.vids[int(i)] for i in idx]
+        out["aux_idx"] = np.asarray(idx, np.int64)
         out["aux_times"] = aux[:, 2:4]
         return out
 
 
 class BatchIterator:
     """Shuffling, remainder-dropping, prefetching batch source.
+
+    Drop-last semantics match the reference's DataLoader(drop_last=True):
+    eval metrics (incl. FGD) therefore cover the first n//B*B samples —
+    up to B-1 tail samples are excluded per epoch.
 
     ``workers`` > 1 assembles batches on a thread pool: the heavy work
     (native memmap gathers, word scatter, numpy pads) runs with the GIL

@@ -25,8 +25,7 @@ def make_embed_train_step(bundle, args, mode=None, use_pose_diff=False):
     tx = adam(args.learning_rate)
     n_pre = args.n_pre_poses
 
-    @partial(jax.jit, donate_argnames=("state",))
-    def step(state: NetState, batch, rng):
+    def step_body(state: NetState, batch, rng):
         in_text = batch.get("in_text")
         in_audio = decode_audio(batch.get("in_audio"))
         target = batch["target_vec"]
@@ -53,7 +52,24 @@ def make_embed_train_step(bundle, args, mode=None, use_pose_diff=False):
         state = apply_grads(state, tx, grads, bs)
         return state, metrics
 
+    step = jax.jit(step_body, donate_argnames=("state",))
+    step.body = step_body
     return step, tx
+
+
+def make_embed_resident_multi_step(bundle, args, mode=None, mesh=None,
+                                   use_pose_diff=False):
+    """--device_resident_data for the embedding families: fused K-step
+    scan over microbatches gathered in-graph from the resident dataset
+    (train/resident.py)."""
+    from ..ops import audio as audio_ops
+    from .resident import make_single_state_resident_multi_step
+    step, tx = make_embed_train_step(bundle, args, mode=mode,
+                                     use_pose_diff=use_pose_diff)
+    audio_len = audio_ops.calc_audio_length_from_motion_length(
+        args.n_poses, args.motion_resampling_framerate)
+    return make_single_state_resident_multi_step(step.body, audio_len,
+                                                 mesh), tx
 
 
 def make_embed_train_step_shardmap(bundle, args, mesh, mode=None,

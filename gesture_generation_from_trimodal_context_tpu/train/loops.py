@@ -58,9 +58,76 @@ def _device_batch(batch, mesh):
 
 
 def _random_vids(speaker_model, batch_size, rs):
-    vals = list(speaker_model.word2index.values())
-    return np.asarray([vals[rs.randint(len(vals))]
-                       for _ in range(batch_size)], np.int32)
+    """Vectorized random speaker draw (reference train.py:259)."""
+    vals = getattr(speaker_model, "_vid_index_values", None)
+    if vals is None:
+        vals = np.fromiter(speaker_model.word2index.values(), np.int32,
+                           len(speaker_model.word2index))
+        speaker_model._vid_index_values = vals
+    return vals[rs.randint(len(vals), size=batch_size)].astype(np.int32)
+
+
+# default --gan_prob_clamp applied by the collapse playbook: bounds the
+# ns-GAN losses once D saturates (the value that recovered the real
+# epoch-39 collapse, RESULTS.md round 2)
+COLLAPSE_PLAYBOOK_CLAMP = 1e-3
+
+
+def _write_collapse_marker(args, key, scalar, iteration, epoch):
+    """Record a non-finite-abort next to the checkpoints so a resume can
+    auto-apply the recovery playbook (beyond the reference, which
+    silently trains on -inf: reference train_eval/train_gan.py:33-39)."""
+    import json
+    info = {"metric": key, "value": repr(scalar), "iteration": iteration,
+            "epoch": epoch,
+            "suggestion": "--gan_prob_clamp %g" % COLLAPSE_PLAYBOOK_CLAMP}
+    try:
+        path = Path(args.model_save_path) / "collapse_info.json"
+        path.parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(info, f)
+    except OSError as e:
+        logging.warning("could not write collapse marker: %s", e)
+
+
+def _apply_collapse_playbook(args, model):
+    """On resume from a run that aborted via the non-finite guard
+    (collapse_info.json next to the resume checkpoint), auto-enable the
+    GAN probability clamp so the restarted run survives the saturated-D
+    basin unattended (VERDICT r2 item 7; --collapse_playbook false
+    opts out, an explicit --gan_prob_clamp wins)."""
+    resume_path = getattr(args, "resume_checkpoint", "") or ""
+    if not resume_path or model != "multimodal_context":
+        return
+    if not getattr(args, "collapse_playbook", True):
+        return
+    if getattr(args, "gan_prob_clamp", 0.0):
+        return  # explicit operator choice wins
+    marker = Path(resume_path).parent / "collapse_info.json"
+    if not marker.exists():
+        return
+    import json
+    with open(marker) as f:
+        info = json.load(f)
+    args.gan_prob_clamp = COLLAPSE_PLAYBOOK_CLAMP
+    logging.warning(
+        "collapse playbook: the previous run aborted on non-finite %s at "
+        "epoch %s (collapse_info.json); auto-enabling --gan_prob_clamp %g "
+        "for this resume (disable with --collapse_playbook false, or set "
+        "--gan_prob_clamp explicitly)", info.get("metric"),
+        info.get("epoch"), COLLAPSE_PLAYBOOK_CLAMP)
+
+
+def _dataset_vid_indices(dataset, speaker_model):
+    """Precompute each sample's speaker index once so per-batch vid
+    lookup is a vectorized array gather instead of a per-element dict
+    walk (the batches carry ``aux_idx`` sample indices)."""
+    store = getattr(dataset, "store", None)
+    if store is None or not hasattr(store, "vids"):
+        return None
+    w2i = speaker_model.word2index
+    return np.fromiter((w2i[v] for v in store.vids), np.int32,
+                       len(store.vids))
 
 
 def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
@@ -143,15 +210,13 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
 
     # train/eval steps + states
     model = args.model
+    # must run BEFORE step building: gan_prob_clamp is baked into the
+    # compiled step bodies
+    _apply_collapse_playbook(args, model)
     dis_state = None
     steps_per_call = max(1, getattr(args, "steps_per_call", 1))
     multi_step_fn = None
     use_shard_map = dp_strategy == "shard_map"
-    if use_shard_map and model in ("seq2seq", "speech2gesture"):
-        logging.warning("dp_strategy=shard_map has no %s variant; the jit "
-                        "path (global-batch BN stats) is used instead",
-                        model)
-        use_shard_map = False
     if model == "multimodal_context":
         if use_shard_map:
             # DataParallel-faithful per-shard BN/dropout (train/gan.py)
@@ -162,8 +227,11 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
             step_fn, gen_tx, dis_tx = make_gan_train_step(bundle, args)
         if steps_per_call > 1:
             if use_shard_map:
-                logging.warning("steps_per_call>1 is a jit-path feature; "
-                                "running shard_map steps one at a time")
+                # scan inside the shard_map'd body: per-step semantics
+                # unchanged, dispatch amortized over steps_per_call
+                from .gan import make_gan_multi_step_shardmap
+                multi_step_fn, _, _ = make_gan_multi_step_shardmap(
+                    bundle, args, mesh, steps_per_call)
             else:
                 from .gan import make_gan_multi_step
                 multi_step_fn, _, _ = make_gan_multi_step(bundle, args,
@@ -180,10 +248,20 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
             step_fn, gen_tx = make_embed_train_step(bundle, args, mode=mode)
         gen_state = make_net_state(gvars, gen_tx)
     elif model == "seq2seq":
-        step_fn, gen_tx = make_seq2seq_train_step(bundle, args)
+        if use_shard_map:
+            from .seq2seq_step import make_seq2seq_train_step_shardmap
+            step_fn, gen_tx = make_seq2seq_train_step_shardmap(
+                bundle, args, mesh)
+        else:
+            step_fn, gen_tx = make_seq2seq_train_step(bundle, args)
         gen_state = make_net_state(gvars, gen_tx)
     elif model == "speech2gesture":
-        step_fn, gen_tx, dis_tx = make_s2g_train_step(bundle, args)
+        if use_shard_map:
+            from .s2g import make_s2g_train_step_shardmap
+            step_fn, gen_tx, dis_tx = make_s2g_train_step_shardmap(
+                bundle, args, mesh)
+        else:
+            step_fn, gen_tx, dis_tx = make_s2g_train_step(bundle, args)
         gen_state = make_net_state(gvars, gen_tx)
         dis_state = make_net_state(dvars, dis_tx)
     else:
@@ -195,35 +273,56 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
     # ---- device-resident dataset mode (train/resident.py): the whole
     # train + val sets live in HBM; steps gather microbatches in-graph ----
     resident_train = None
-    resident_step_fns = {}
     video_loader = test_loader  # sample videos keep the host loader
     if getattr(args, "device_resident_data", False):
-        if model != "multimodal_context":
-            raise ValueError("--device_resident_data currently supports "
-                             "the multimodal_context family")
         if use_shard_map or tp_devices > 1:
             raise ValueError("--device_resident_data requires "
                              "dp_strategy=jit and tp_devices=1")
         from . import resident
+        res_fields = resident.MODEL_FIELDS[model]
+        res_dp = resident.mesh_dp(mesh)
+        if res_dp > 1 and args.batch_size % res_dp:
+            raise ValueError("--device_resident_data on a %d-device data "
+                             "mesh needs batch_size %% %d == 0"
+                             % (res_dp, res_dp))
         est = resident.estimate_bytes(train_loader.dataset) \
             + resident.estimate_bytes(test_loader.dataset)
-        logging.info("device-resident data: ~%.2f GB estimated", est / 1e9)
-        resident_train = resident.build_resident_data(
-            train_loader.dataset, speaker_model,
-            include_vids=isinstance(speaker_model, Vocab), label="train")
-        resident_val = resident.build_resident_data(
+        logging.info("device-resident data: ~%.2f GB estimated (%.2f GB "
+                     "per device)", est / 1e9, est / 1e9 / res_dp)
+        res_vids = (model == "multimodal_context"
+                    and isinstance(speaker_model, Vocab))
+        resident_train, resident_meta = resident.build_resident_data(
+            train_loader.dataset, speaker_model, include_vids=res_vids,
+            label="train", mesh=mesh, fields=res_fields)
+        resident_val, _ = resident.build_resident_data(
             test_loader.dataset, speaker_model, include_vids=False,
-            label="val")
+            label="val", mesh=mesh, fields=res_fields)
         test_loader = resident.ResidentBatchIterator(
             resident_val, len(test_loader.dataset), args.batch_size,
-            audio_len=test_loader.dataset.expected_audio_length)
-        from .gan import make_gan_resident_multi_step
+            audio_len=test_loader.dataset.expected_audio_length,
+            mesh=mesh)
 
-        def _resident_fn(k):  # one specialization per group length
-            if k not in resident_step_fns:
-                resident_step_fns[k] = make_gan_resident_multi_step(
-                    bundle, args, k)[0]
-            return resident_step_fns[k]
+        def _make_resident_fn():
+            if model == "multimodal_context":
+                from .gan import make_gan_resident_multi_step
+                return make_gan_resident_multi_step(
+                    bundle, args, steps_per_call, mesh=mesh)[0]
+            if model in ("joint_embedding", "gesture_autoencoder"):
+                from .embed import make_embed_resident_multi_step
+                emb_mode = "random" if model == "joint_embedding" else None
+                return make_embed_resident_multi_step(
+                    bundle, args, mode=emb_mode, mesh=mesh)[0]
+            if model == "seq2seq":
+                from .seq2seq_step import make_seq2seq_resident_multi_step
+                return make_seq2seq_resident_multi_step(bundle, args,
+                                                        mesh=mesh)[0]
+            from .s2g import make_s2g_resident_multi_step
+            return make_s2g_resident_multi_step(bundle, args, mesh=mesh)[0]
+
+        _resident_step = _make_resident_fn()
+
+        def _resident_fn(k):  # jit respecializes per (K,B) stack shape
+            return _resident_step
 
     # ---- optional true resume (beyond the reference, SURVEY.md §5: the
     # reference always restarts from epoch 0 after a crash) ----
@@ -255,6 +354,12 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
                     opt_state=serialization.from_bytes(
                         dis_state.opt_state, ckpt["dis_opt_bytes"]))
         logging.info("resumed from %s at epoch %d", resume_path, start_epoch)
+
+    train_vid_indices = None
+    if isinstance(speaker_model, Vocab) and \
+            hasattr(train_loader, "dataset"):
+        train_vid_indices = _dataset_vid_indices(train_loader.dataset,
+                                                 speaker_model)
 
     with mesh:
         if tp_devices > 1:
@@ -379,21 +484,29 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
                             # run is diverging — stop with context rather
                             # than silently training on garbage
                             if not np.isfinite(scalar):
+                                _write_collapse_marker(
+                                    args, key, scalar,
+                                    it - n_sub + 1 + k, epoch)
                                 raise FloatingPointError(
                                     "non-finite train metric %s=%r at "
                                     "iteration %d (epoch %d); last good "
-                                    "checkpoint is in %s" % (
-                                        key, scalar, it - n_sub + 1 + k,
-                                        epoch, args.model_save_path))
+                                    "checkpoint is in %s — resuming from "
+                                    "it auto-applies the collapse "
+                                    "playbook (see collapse_info.json)"
+                                    % (key, scalar, it - n_sub + 1 + k,
+                                       epoch, args.model_save_path))
                             tb_writer.add_scalar(key + "/train", scalar,
                                                  it - n_sub + 1 + k)
                 pending.clear()
 
             def add_vids(batch):
                 if speaker_model and isinstance(speaker_model, Vocab):
-                    vids = np.asarray(
-                        [speaker_model.word2index[v]
-                         for v in batch["aux_vids"]], np.int32)
+                    if train_vid_indices is not None and "aux_idx" in batch:
+                        vids = train_vid_indices[batch["aux_idx"]]
+                    else:
+                        vids = np.asarray(
+                            [speaker_model.word2index[v]
+                             for v in batch["aux_vids"]], np.int32)
                     return dict(batch, vid_indices=vids)
                 return batch
 
@@ -425,9 +538,22 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
                 add_gan = epoch > args.loss_warmup
                 batch_size = args.batch_size
                 n_batches = len(train_loader)
-                perm = rs.permutation(len(train_loader.dataset))
-                perm = perm[:n_batches * batch_size].astype(np.int32)
-                idx_matrix = perm.reshape(n_batches, batch_size)
+                if resident_meta.dp > 1:
+                    # per-device LOCAL permutations over each round-robin
+                    # shard (documented deviation: the shuffle domain is
+                    # per-shard — every batch draws batch_size/dp samples
+                    # from each residue class i%dp — vs the reference's
+                    # global RandomSampler)
+                    bsl = batch_size // resident_meta.dp
+                    idx_matrix = np.concatenate(
+                        [rs.permutation(v)[:n_batches * bsl]
+                         .reshape(n_batches, bsl)
+                         for v in resident_meta.valid_local],
+                        axis=1).astype(np.int32)
+                else:
+                    perm = rs.permutation(len(train_loader.dataset))
+                    perm = perm[:n_batches * batch_size].astype(np.int32)
+                    idx_matrix = perm.reshape(n_batches, batch_size)
                 for s in range(0, n_batches, steps_per_call):
                     stack = idx_matrix[s:s + steps_per_call]
                     k = stack.shape[0]
@@ -435,10 +561,23 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
                     interval_iters += k
                     rng = jax.random.fold_in(root_rng, global_iter + 1)
                     global_iter += k
-                    gen_state, dis_state, loss_dict = _resident_fn(k)(
-                        gen_state, dis_state, resident_train, stack, rng,
-                        train_d=train_d, add_gan=add_gan)
+                    if model == "multimodal_context":
+                        gen_state, dis_state, loss_dict = _resident_fn(k)(
+                            gen_state, dis_state, resident_train, stack,
+                            rng, train_d=train_d, add_gan=add_gan)
+                    elif model == "speech2gesture":
+                        gen_state, dis_state, loss_dict = _resident_fn(k)(
+                            gen_state, dis_state, resident_train, stack,
+                            rng)
+                    else:
+                        gen_state, loss_dict = _resident_fn(k)(
+                            gen_state, resident_train, stack, rng)
                     pending.append((global_iter, batch_size, loss_dict))
+                    if profiling:
+                        # one fused call (<= steps_per_call steps) is a
+                        # full trace; stop so the file gets written
+                        jax.profiler.stop_trace()
+                        profiling = False
                     if interval_iters >= print_interval:
                         flush_pending()
                         summary = ("EP {} ({:3d}) | {:>8s}, "

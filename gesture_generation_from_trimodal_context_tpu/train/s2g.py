@@ -5,7 +5,6 @@ D: MSE on motion differences (real->1, fake->0); G: L1 * 100 + GAN * 10.
 Both updates in one compiled program, D first.
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -14,16 +13,19 @@ from .common import apply_net, split_rngs
 from .state import NetState, adam, apply_grads
 
 
-def make_s2g_train_step(bundle, args):
+def make_s2g_train_step(bundle, args, grad_reduce=None):
+    """grad_reduce: optional tree-map applied to gradients before the
+    optimizer updates (the shard_map variant passes a pmean over the
+    data axis; None for the jit path where XLA reduces)."""
     gen, dis = bundle.generator, bundle.discriminator
     gen_tx = adam(args.learning_rate)
     dis_tx = adam(args.learning_rate * args.discriminator_lr_weight)
     n_pre = args.n_pre_poses
     w_rg = args.loss_regression_weight
     w_gan = args.loss_gan_weight
+    reduce_grads = grad_reduce or (lambda g: g)
 
-    @partial(jax.jit, donate_argnames=("gen_state", "dis_state"))
-    def step(gen_state: NetState, dis_state: NetState, batch, rng):
+    def step_body(gen_state: NetState, dis_state: NetState, batch, rng):
         in_spec = batch["in_spec"]
         target = batch["target_vec"]
         pre_poses = target[:, 0:n_pre]
@@ -50,7 +52,8 @@ def make_s2g_train_step(bundle, args):
 
         (d_loss, d_bs), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(dis_state.params)
-        dis_state = apply_grads(dis_state, dis_tx, d_grads, d_bs)
+        dis_state = apply_grads(dis_state, dis_tx, reduce_grads(d_grads),
+                                d_bs)
 
         # ---- G step ----
         # The reference reuses the single generator forward above for the
@@ -72,8 +75,62 @@ def make_s2g_train_step(bundle, args):
 
         (_, (g_bs2, d_bs2, metrics)), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True)(gen_state.params)
-        gen_state = apply_grads(gen_state, gen_tx, g_grads, g_bs2)
+        gen_state = apply_grads(gen_state, gen_tx, reduce_grads(g_grads),
+                                g_bs2)
         dis_state = dis_state.replace(batch_stats=d_bs2)
         return gen_state, dis_state, metrics
 
+    step = jax.jit(step_body, donate_argnames=("gen_state", "dis_state"))
+    step.body = step_body
     return step, gen_tx, dis_tx
+
+
+def make_s2g_resident_multi_step(bundle, args, mesh=None):
+    """--device_resident_data for speech2gesture: fused K-step scan over
+    (in_spec, target_vec) microbatches gathered in-graph from the
+    resident dataset (train/resident.py)."""
+    from .resident import make_two_state_resident_multi_step
+    step, gen_tx, dis_tx = make_s2g_train_step(bundle, args)
+    return make_two_state_resident_multi_step(step.body, mesh=mesh), \
+        gen_tx, dis_tx
+
+
+def make_s2g_train_step_shardmap(bundle, args, mesh):
+    """Explicit-SPMD LSGAN step via shard_map (DataParallel-faithful,
+    reference train.py:93-96 wraps every family): BatchNorm batch
+    statistics — speech2gesture is the BN-heaviest family, so this is
+    where per-shard-vs-global stats matter most — and dropout draws are
+    PER SHARD like per-GPU DataParallel replicas; both losses are means,
+    so pmean'd gradients reproduce the aggregated-batch gradient
+    exactly; running BN stats are pmean-synced after the step."""
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = "data"
+    pmean_tree = lambda t: jax.tree_util.tree_map(
+        lambda x: jax.lax.pmean(x, axis), t)
+    step, gen_tx, dis_tx = make_s2g_train_step(bundle, args,
+                                               grad_reduce=pmean_tree)
+    body = step.body
+
+    def shard_body(gen_state, dis_state, batch, rng):
+        local_rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        gen_state, dis_state, metrics = body(gen_state, dis_state, batch,
+                                             local_rng)
+        metrics = {k: jax.lax.pmean(v, axis) for k, v in metrics.items()}
+        gen_state = gen_state.replace(
+            batch_stats=pmean_tree(gen_state.batch_stats))
+        dis_state = dis_state.replace(
+            batch_stats=pmean_tree(dis_state.batch_stats))
+        return gen_state, dis_state, metrics
+
+    kwargs = dict(mesh=mesh, in_specs=(P(), P(), P(axis), P()),
+                  out_specs=(P(), P(), P()))
+    try:
+        fn = shard_map(shard_body, check_vma=False, **kwargs)
+    except TypeError:
+        fn = shard_map(shard_body, check_rep=False, **kwargs)
+    return jax.jit(fn), gen_tx, dis_tx

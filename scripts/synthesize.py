@@ -40,10 +40,11 @@ from gesture_generation_from_trimodal_context_tpu.utils.video import (
 TEXT_EXAMPLES = [
     'yesterday i heard a wonderful story about a little robot learning '
     'to wave at people',
-    'we can help millions of teens with counseling',
-    'what an amazing day that will be. what a big opportunity we have.',
-    'just the way a surgeon operates on a patient you can literally '
-    'interact with your table',
+    'together we can bring clean water to every village in the region',
+    'think about how far we have come in just ten years. imagine the '
+    'next ten.',
+    'when you raise your hand to ask a question the whole room leans '
+    'in to listen',
     '[Enter a new text]',
 ]
 
@@ -77,8 +78,25 @@ def main(mode, checkpoint_path, option, data_base="data/ted_dataset",
             speaker_model=speaker_model, mean_pose=mean_pose,
             mean_dir_vec=mean_dir_vec)
         val_dataset.set_lang_model(lang_model)
-        loader = BatchIterator(val_dataset, 32, shuffle=False)
         mesh = mesh_lib.get_mesh(1)
+        if option == "host":
+            # reference-style host pipeline (per-batch host->device
+            # transfer, reference synthesize.py:263-272)
+            loader = BatchIterator(val_dataset, 32, shuffle=False)
+        else:
+            # device-resident eval (default; TPU-native): upload the val
+            # set once, gather eval batches in-graph — identical batch
+            # composition, no per-batch transfer (train/resident.py)
+            from gesture_generation_from_trimodal_context_tpu.train import (
+                resident)
+            fields = resident.MODEL_FIELDS.get(args.model,
+                                               resident.TRAIN_FIELDS)
+            res_val, _ = resident.build_resident_data(
+                val_dataset, speaker_model, include_vids=False,
+                label="val", mesh=mesh, fields=fields)
+            loader = resident.ResidentBatchIterator(
+                res_val, len(val_dataset), 32,
+                audio_len=val_dataset.expected_audio_length, mesh=mesh)
         eval_step = make_eval_step(bundle, args, mean_dir_vec)
         with mesh:
             evaluate_testset(loader, gen_vars, eval_step, bundle, args,

@@ -58,8 +58,11 @@ def test_synthesize_eval_mode(tmp_path):
         "pose_dim": 27, "gen_vars": jax.device_get(gvars), "dis_vars": None,
     }, str(ckpt))
 
-    # must run the full evaluate_testset path without error
+    # must run the full evaluate_testset path without error — default is
+    # the device-resident val path; "host" covers the reference-style
+    # per-batch host pipeline
     synth_cli.main("eval", str(ckpt), None, data_base=str(base))
+    synth_cli.main("eval", str(ckpt), "host", data_base=str(base))
 
 
 def test_synthesize_from_text_noninteractive(tmp_path, monkeypatch):

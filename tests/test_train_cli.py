@@ -68,7 +68,10 @@ def test_train_cli_dp_strategy(tmp_path, strategy):
                                            clips_per_video=1,
                                            clip_duration_s=8.0,
                                            seed=hash(split) % 89)
-    args = _mmc_args(tmp_path, base, ["--dp_strategy", strategy])
+    # steps_per_call exercises the fused multi-step on BOTH strategies
+    # (make_gan_multi_step / make_gan_multi_step_shardmap)
+    args = _mmc_args(tmp_path, base, ["--dp_strategy", strategy,
+                                      "--steps_per_call", "2"])
     train_cli.main(args)
     assert (tmp_path / "out" /
             "multimodal_context_checkpoint_best.bin").exists()
@@ -138,3 +141,104 @@ def test_train_cli_device_resident_data(tmp_path):
         "--resume_checkpoint",
         str(out / "multimodal_context_checkpoint_last.bin")])
     train_cli.main(args2)
+
+
+def _family_args(tmp_path, base, cfg_name, extra):
+    return cfg.parse_args([
+        "--config", _cfg(cfg_name),
+        "--train_data_path", str(base / "lmdb_train"),
+        "--val_data_path", str(base / "lmdb_val"),
+        "--test_data_path", str(base / "lmdb_test"),
+        "--model_save_path", str(tmp_path / "out"),
+        "--wordembed_path", "", "--wordembed_dim", "16",
+        "--batch_size", "8", "--epochs", "1",
+        "--random_seed", "11", "--save_result_video", "false",
+        "--prefetch_batches", "0", "--eval_net_path", ""] + extra)
+
+
+@pytest.mark.parametrize("cfg_name,ckpt", [
+    ("seq2seq.yml", "seq2seq_checkpoint_best.bin"),
+    ("speech2gesture.yml", "speech2gesture_checkpoint_best.bin"),
+    ("gesture_autoencoder.yml", "gesture_autoencoder_checkpoint_best.bin"),
+])
+def test_train_cli_device_resident_all_families(tmp_path, cfg_name, ckpt):
+    """--device_resident_data for the non-flagship families (VERDICT r2
+    item 4): the family-specific resident fields upload (sharded over
+    the 8-virtual-device mesh), the fused resident multi-step trains an
+    epoch, and eval runs from resident val data."""
+    base = tmp_path / "data" / "ted_dataset"
+    for split in ("lmdb_train", "lmdb_val", "lmdb_test"):
+        synthetic.make_synthetic_raw_store(str(base / split), n_videos=2,
+                                           clips_per_video=1,
+                                           clip_duration_s=8.0,
+                                           seed=hash(split) % 73)
+    extra = ["--device_resident_data", "true", "--steps_per_call", "2"]
+    if cfg_name in ("seq2seq.yml", "speech2gesture.yml"):
+        extra += ["--hidden_size", "32", "--n_layers", "2"]
+    args = _family_args(tmp_path, base, cfg_name, extra)
+    train_cli.main(args)
+    assert (tmp_path / "out" / ckpt).exists()
+
+
+@pytest.mark.parametrize("cfg_name,ckpt", [
+    ("seq2seq.yml", "seq2seq_checkpoint_best.bin"),
+    ("speech2gesture.yml", "speech2gesture_checkpoint_best.bin"),
+])
+def test_train_cli_shard_map_all_families(tmp_path, cfg_name, ckpt):
+    """--dp_strategy shard_map for seq2seq and speech2gesture (VERDICT
+    r2 item 3): the DataParallel-faithful per-shard-BN variants train an
+    epoch through the CLI on the 8-virtual-device mesh (the other three
+    families are covered by test_train_cli_dp_strategy and the embed
+    shard_map tests)."""
+    base = tmp_path / "data" / "ted_dataset"
+    for split in ("lmdb_train", "lmdb_val", "lmdb_test"):
+        synthetic.make_synthetic_raw_store(str(base / split), n_videos=2,
+                                           clips_per_video=1,
+                                           clip_duration_s=8.0,
+                                           seed=hash(split) % 71)
+    args = _family_args(tmp_path, base, cfg_name,
+                        ["--dp_strategy", "shard_map",
+                         "--hidden_size", "32", "--n_layers", "2"])
+    train_cli.main(args)
+    assert (tmp_path / "out" / ckpt).exists()
+
+
+def test_collapse_playbook_on_resume(tmp_path):
+    """Collapse playbook (beyond the reference, which silently trains on
+    -inf): a resume from a save dir carrying collapse_info.json (written
+    by the non-finite guard) auto-enables the GAN probability clamp;
+    --collapse_playbook false opts out."""
+    import json
+    from gesture_generation_from_trimodal_context_tpu.train import loops
+
+    base = tmp_path / "data" / "ted_dataset"
+    for split in ("lmdb_train", "lmdb_val", "lmdb_test"):
+        synthetic.make_synthetic_raw_store(str(base / split), n_videos=2,
+                                           clips_per_video=1,
+                                           clip_duration_s=8.0,
+                                           seed=hash(split) % 67)
+    args = _mmc_args(tmp_path, base, [])
+    train_cli.main(args)
+    out = tmp_path / "out"
+    last = out / "multimodal_context_checkpoint_last.bin"
+    assert last.exists()
+
+    # fabricate the marker the non-finite guard writes
+    loops._write_collapse_marker(args, "dis", float("inf"), 7, 0)
+    marker = out / "collapse_info.json"
+    assert marker.exists()
+    assert json.load(open(marker))["metric"] == "dis"
+
+    # resume: playbook must kick in (clamp baked into the new steps)
+    args2 = _mmc_args(tmp_path, base, ["--epochs", "2",
+                                      "--resume_checkpoint", str(last)])
+    assert args2.gan_prob_clamp == 0.0
+    train_cli.main(args2)
+    assert args2.gan_prob_clamp == loops.COLLAPSE_PLAYBOOK_CLAMP
+
+    # opt-out leaves reference math untouched
+    args3 = _mmc_args(tmp_path, base, ["--epochs", "3",
+                                      "--resume_checkpoint", str(last),
+                                      "--collapse_playbook", "false"])
+    train_cli.main(args3)
+    assert args3.gan_prob_clamp == 0.0

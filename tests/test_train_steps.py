@@ -411,6 +411,121 @@ def test_resident_multi_step_matches_per_batch():
                                np.asarray(mk["loss"]), rtol=1e-3)
 
 
+def test_resident_sharded_multi_step_matches_per_batch():
+    """Round-robin sharded resident data on the 8-virtual-device mesh
+    (train/resident.py shard_host_data + the shard_map'd gather in
+    make_gan_resident_multi_step) must reproduce the per-batch jit step
+    on the equivalent global batches assembled in device-block order."""
+    import copy
+    from types import SimpleNamespace
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gesture_generation_from_trimodal_context_tpu.models import factory
+    from gesture_generation_from_trimodal_context_tpu.parallel import (
+        mesh as mesh_lib)
+    from gesture_generation_from_trimodal_context_tpu.train import resident
+    from gesture_generation_from_trimodal_context_tpu.train.gan import (
+        make_gan_resident_multi_step, make_gan_train_step)
+    from gesture_generation_from_trimodal_context_tpu.train.state import (
+        make_net_state)
+    from gesture_generation_from_trimodal_context_tpu.data.vocab import Vocab
+
+    lang = Vocab("w")
+    for w in ("alpha", "beta", "gamma"):
+        lang.index_word(w)
+    args = SimpleNamespace(
+        model="multimodal_context", n_poses=34, n_pre_poses=4,
+        hidden_size=24, n_layers=2, dropout_prob=0.0,
+        input_context="both", freeze_wordembed=False, wordembed_dim=16,
+        motion_resampling_framerate=15, z_type="none",
+        learning_rate=5e-4, discriminator_lr_weight=0.2,
+        loss_regression_weight=500.0, loss_gan_weight=5.0,
+        loss_kld_weight=0.1, loss_reg_weight=0.05, loss_warmup=0,
+        fused_gen_forwards=True)
+    bundle = factory.init_model(args, lang, None, 27)
+    gvars = factory.generator_init_variables(bundle, args,
+                                             jax.random.PRNGKey(7), 2)
+    dvars = factory.discriminator_init_variables(bundle, args,
+                                                 jax.random.PRNGKey(7), 2)
+
+    rng = np.random.RandomState(0)
+    DP, N, B, K = 8, 19, 8, 2  # N % DP != 0 exercises wrap padding
+    bsl = B // DP
+    audio_f32 = (0.1 * rng.randn(N, 36267)).astype(np.float32)
+    audio_i16 = np.rint(np.clip(audio_f32 * 32767.0, -32767.0,
+                                32767.0)).astype(np.int16)
+    host = {
+        "in_text": rng.randint(0, lang.n_words, (N, 34)).astype(np.int32),
+        "in_audio": audio_i16,
+        "target_vec": (0.1 * rng.randn(N, 34, 27)).astype(np.float32),
+    }
+    mesh = mesh_lib.get_mesh(DP)
+    data, meta = resident.shard_host_data(host, mesh, label="test")
+    assert meta.dp == DP and meta.n == N
+    # per-device LOCAL indices; column block j//bsl belongs to device
+    # j//bsl and must stay inside that shard's valid (non-padding) rows
+    idx_stack = np.asarray(
+        [[rng.randint(0, meta.valid_local[j // bsl]) for j in range(B)]
+         for _ in range(K)], np.int32)
+
+    res_step, gen_tx, dis_tx = make_gan_resident_multi_step(
+        bundle, args, K, mesh=mesh)
+    g1 = make_net_state(copy.deepcopy(gvars), gen_tx)
+    d1 = make_net_state(copy.deepcopy(dvars), dis_tx)
+    root = jax.random.PRNGKey(13)
+    with mesh:
+        g1, d1, m1 = res_step(g1, d1, data, idx_stack, root,
+                              train_d=True, add_gan=True)
+
+    # per-batch path: global rows in the same device-block order
+    # (round-robin layout: device d local L holds global row L*DP + d)
+    step, gen_tx2, dis_tx2 = make_gan_train_step(bundle, args)
+    g2 = make_net_state(copy.deepcopy(gvars), gen_tx2)
+    d2 = make_net_state(copy.deepcopy(dvars), dis_tx2)
+    for k in range(K):
+        gidx = np.asarray([int(idx_stack[k, j]) * DP + j // bsl
+                           for j in range(B)])
+        batch = {key: jnp.asarray(v[gidx]) for key, v in host.items()}
+        g2, d2, mk = step(g2, d2, batch, jax.random.fold_in(root, k),
+                          train_d=True, add_gan=True)
+    for name, atol, t1, t2 in (("gen", 4e-3, g1.params, g2.params),
+                               ("dis", 4e-3, d1.params, d2.params),
+                               ("gen_bn", 1e-3, g1.batch_stats,
+                                g2.batch_stats)):
+        jax.tree_util.tree_map(
+            lambda a, b, _n=name, _atol=atol: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=_atol, err_msg=_n),
+            t1, t2)
+    np.testing.assert_allclose(np.asarray(m1["loss"][-1]),
+                               np.asarray(mk["loss"]), rtol=1e-3)
+
+
+def test_resident_shard_layout_round_trip():
+    """shard_host_data's round-robin layout: gathering local row L on
+    every device returns global rows [L*dp, L*dp+1, ..., L*dp+dp-1] in
+    device order, and the sharded ResidentBatchIterator reproduces the
+    host iterator's batch COMPOSITION exactly."""
+    import jax
+    import numpy as np
+    from gesture_generation_from_trimodal_context_tpu.parallel import (
+        mesh as mesh_lib)
+    from gesture_generation_from_trimodal_context_tpu.train import resident
+
+    DP, N = 8, 21
+    host = {"x": np.arange(N, dtype=np.float32).reshape(N, 1)}
+    mesh = mesh_lib.get_mesh(DP)
+    data, meta = resident.shard_host_data(host, mesh, label="layout")
+    # residue d holds rows d, d+8, d+16 (<21): d<5 -> 3 rows, d>=5 -> 2
+    assert meta.n_local == 3 and meta.valid_local[0] == 3
+    assert meta.valid_local[-1] == 2
+    it = resident.ResidentBatchIterator(data, N, DP, mesh=mesh)
+    batches = [np.sort(np.asarray(b["x"]).ravel()) for b in it]
+    assert len(batches) == N // DP
+    np.testing.assert_array_equal(batches[0], np.arange(8.0))
+    np.testing.assert_array_equal(batches[1], np.arange(8.0, 16.0))
+
+
 def test_gan_prob_clamp_bounds_saturated_d():
     """--gan_prob_clamp: with a saturated discriminator (huge logits ->
     exact 0/1 sigmoid outputs) the reference loss is inf; the clamped
