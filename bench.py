@@ -53,6 +53,17 @@ def main():
     use_pallas = cli.use_pallas.lower() in ("1", "true", "yes")
 
     import jax
+    # persistent compilation cache: BENCH_r02 spent 741 s in
+    # compile+warmup; caching the serialized executables across bench
+    # runs makes warm starts measure steady state, not the compiler
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # cache is an optimization, never a failure
+        print("compilation cache unavailable: %s" % e, file=sys.stderr)
     import __graft_entry__ as ge
     from gesture_generation_from_trimodal_context_tpu.models import factory
     from gesture_generation_from_trimodal_context_tpu.train.gan import (
@@ -135,13 +146,14 @@ def main():
 
         run(5)  # steady state
         slopes = []
-        for _ in range(3):
+        for _ in range(5):
             t_small, t_big = timed(10), timed(40)
             slopes.append((t_big - t_small) / 30.0)
-        # median of 3: tunnel load adds ~10% run-to-run noise, and a
-        # slow 10-step sample makes a single slope read LOW — min() is
-        # optimistically biased under that noise
-        dt_step = sorted(slopes)[len(slopes) // 2]
+        # median of 5 (VERDICT r2 item 6): tunnel load adds ~10%
+        # run-to-run noise; the median rejects both the LOW-biased
+        # slopes (a slow 10-step sample) and the high outliers, and 5
+        # samples tighten run-to-run agreement over the previous 3
+        dt_step = float(np.median(slopes))
         print("slopes: %s ms" % [round(s * 1e3, 2) for s in slopes],
               file=sys.stderr)
 
@@ -157,6 +169,9 @@ def main():
         "unit": "frames/sec/chip",
         "vs_baseline": round(frames_per_sec_per_chip
                              / BASELINE_FRAMES_PER_SEC, 3),
+        "step_ms": round(dt_step * 1e3, 2),
+        "spread_ms": [round(min(slopes) * 1e3, 2),
+                      round(max(slopes) * 1e3, 2)],
     }))
 
 
