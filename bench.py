@@ -56,14 +56,9 @@ def main():
     # persistent compilation cache: BENCH_r02 spent 741 s in
     # compile+warmup; caching the serialized executables across bench
     # runs makes warm starts measure steady state, not the compiler
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    except Exception as e:  # cache is an optimization, never a failure
-        print("compilation cache unavailable: %s" % e, file=sys.stderr)
+    from gesture_generation_from_trimodal_context_tpu.utils import (
+        compile_cache)
+    compile_cache.enable()
     import __graft_entry__ as ge
     from gesture_generation_from_trimodal_context_tpu.models import factory
     from gesture_generation_from_trimodal_context_tpu.train.gan import (

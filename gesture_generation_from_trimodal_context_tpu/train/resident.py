@@ -138,8 +138,13 @@ def shard_host_data(host, mesh=None, label=""):
         from jax.sharding import NamedSharding, PartitionSpec
         order = _round_robin_order(n, dp)
         sharding = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
-        data = {k: jax.device_put(np.ascontiguousarray(v[order]), sharding)
-                for k, v in host.items()}
+        data = {}
+        for k, v in host.items():
+            # one reordered host copy alive at a time (the audio array
+            # alone is ~7 GB at published scale); sync before the next
+            data[k] = jax.device_put(np.ascontiguousarray(v[order]),
+                                     sharding)
+            jax.block_until_ready(data[k])
     else:
         data = {k: jax.device_put(v) for k, v in host.items()}
     jax.block_until_ready(list(data.values()))
