@@ -144,7 +144,15 @@ def main():
         for _ in range(5):
             t_small, t_big = timed(10), timed(40)
             slopes.append((t_big - t_small) / 30.0)
-        # median of 5 (VERDICT r2 item 6): tunnel load adds ~10%
+        if max(slopes) > 1.5 * min(slopes):
+            # pathological window (the axon tunnel has transient
+            # multi-minute degradations); sample 5 more and let the
+            # median of 10 reject the bad half
+            print("slope spread >1.5x; resampling", file=sys.stderr)
+            for _ in range(5):
+                t_small, t_big = timed(10), timed(40)
+                slopes.append((t_big - t_small) / 30.0)
+        # median of >=5 (VERDICT r2 item 6): tunnel load adds ~10%
         # run-to-run noise; the median rejects both the LOW-biased
         # slopes (a slow 10-step sample) and the high outliers, and 5
         # samples tighten run-to-run agreement over the previous 3
