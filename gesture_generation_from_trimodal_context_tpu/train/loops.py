@@ -246,6 +246,9 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
                 bundle, args, mesh, mode=mode)
         else:
             step_fn, gen_tx = make_embed_train_step(bundle, args, mode=mode)
+            if steps_per_call > 1:
+                from .resident import scan_single_state
+                multi_step_fn = scan_single_state(step_fn.body)
         gen_state = make_net_state(gvars, gen_tx)
     elif model == "seq2seq":
         if use_shard_map:
@@ -254,6 +257,9 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
                 bundle, args, mesh)
         else:
             step_fn, gen_tx = make_seq2seq_train_step(bundle, args)
+            if steps_per_call > 1:
+                from .resident import scan_single_state
+                multi_step_fn = scan_single_state(step_fn.body)
         gen_state = make_net_state(gvars, gen_tx)
     elif model == "speech2gesture":
         if use_shard_map:
@@ -262,10 +268,18 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
                 bundle, args, mesh)
         else:
             step_fn, gen_tx, dis_tx = make_s2g_train_step(bundle, args)
+            if steps_per_call > 1:
+                from .resident import scan_two_state
+                multi_step_fn = scan_two_state(step_fn.body)
         gen_state = make_net_state(gvars, gen_tx)
         dis_state = make_net_state(dvars, dis_tx)
     else:
         raise ValueError(model)
+    if steps_per_call > 1 and use_shard_map and \
+            model != "multimodal_context":
+        logging.warning("steps_per_call fusion under shard_map exists for "
+                        "multimodal_context only; running %s shard_map "
+                        "steps one at a time", model)
 
     eval_step = make_eval_step(bundle, args,
                                np.array(args.mean_dir_vec).squeeze())
@@ -626,9 +640,16 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
                                for k, v in stacked.items()}
                     rng = jax.random.fold_in(root_rng, global_iter + 1)
                     global_iter += len(group)
-                    gen_state, dis_state, loss_dict = multi_step_fn(
-                        gen_state, dis_state, stacked, rng,
-                        train_d=train_d, add_gan=add_gan)
+                    if model == "multimodal_context":
+                        gen_state, dis_state, loss_dict = multi_step_fn(
+                            gen_state, dis_state, stacked, rng,
+                            train_d=train_d, add_gan=add_gan)
+                    elif model == "speech2gesture":
+                        gen_state, dis_state, loss_dict = multi_step_fn(
+                            gen_state, dis_state, stacked, rng)
+                    else:
+                        gen_state, loss_dict = multi_step_fn(
+                            gen_state, stacked, rng)
                     pending.append((global_iter, batch_size, loss_dict))
                 else:
                     for batch in group:

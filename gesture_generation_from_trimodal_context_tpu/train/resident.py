@@ -212,15 +212,15 @@ def make_gather_stack(audio_len=None, mesh=None):
     return jax.jit(_gather_stack)
 
 
-def make_single_state_resident_multi_step(body, audio_len=None, mesh=None):
-    """Fused resident multi-step for single-state families (embed,
-    seq2seq): gather a (K, B) index stack in-graph, then lax.scan the
-    per-batch train body over the K microbatches.  Semantically
-    identical to K per-batch steps with rng = fold_in(rng, k).  Mirrors
-    train/gan.py make_gan_resident_multi_step (two-state, static-gated
+def scan_single_state(body):
+    """Fuse K iterations of a single-state train body into one jitted
+    program via lax.scan over stacked (K, B, ...) microbatches.
+    Semantically identical to K per-batch steps with
+    rng = fold_in(rng, k).  Used by both the host fused path
+    (--steps_per_call, train/loops.py) and the resident path below;
+    mirrors train/gan.py make_gan_multi_step (two-state, static-gated
     GAN variant)."""
     from functools import partial
-    gather_stack = make_gather_stack(audio_len, mesh)
 
     @partial(jax.jit, donate_argnames=("state", "batches"))
     def multi_step(state, batches, rng):
@@ -232,18 +232,13 @@ def make_single_state_resident_multi_step(body, audio_len=None, mesh=None):
         state, metrics = jax.lax.scan(scan_body, state, (batches, ks))
         return state, metrics  # metrics stacked (K,)
 
-    def resident_multi_step(state, data, idx_stack, rng):
-        return multi_step(state, gather_stack(data, jnp.asarray(idx_stack)),
-                          rng)
-
-    return resident_multi_step
+    return multi_step
 
 
-def make_two_state_resident_multi_step(body, audio_len=None, mesh=None):
-    """As make_single_state_resident_multi_step, for two-state families
-    without static gating (speech2gesture's LSGAN gen+dis step)."""
+def scan_two_state(body):
+    """As scan_single_state, for two-state families without static
+    gating (speech2gesture's LSGAN gen+dis step)."""
     from functools import partial
-    gather_stack = make_gather_stack(audio_len, mesh)
 
     @partial(jax.jit, donate_argnames=("gen_state", "dis_state", "batches"))
     def multi_step(gen_state, dis_state, batches, rng):
@@ -257,6 +252,27 @@ def make_two_state_resident_multi_step(body, audio_len=None, mesh=None):
         (gen_state, dis_state), metrics = jax.lax.scan(
             scan_body, (gen_state, dis_state), (batches, ks))
         return gen_state, dis_state, metrics
+
+    return multi_step
+
+
+def make_single_state_resident_multi_step(body, audio_len=None, mesh=None):
+    """Resident-data variant of scan_single_state: the (K, B) index
+    stack is gathered in-graph from the resident dataset first."""
+    gather_stack = make_gather_stack(audio_len, mesh)
+    multi_step = scan_single_state(body)
+
+    def resident_multi_step(state, data, idx_stack, rng):
+        return multi_step(state, gather_stack(data, jnp.asarray(idx_stack)),
+                          rng)
+
+    return resident_multi_step
+
+
+def make_two_state_resident_multi_step(body, audio_len=None, mesh=None):
+    """Resident-data variant of scan_two_state."""
+    gather_stack = make_gather_stack(audio_len, mesh)
+    multi_step = scan_two_state(body)
 
     def resident_multi_step(gen_state, dis_state, data, idx_stack, rng):
         return multi_step(gen_state, dis_state,

@@ -34,7 +34,7 @@ def test_train_cli_gesture_autoencoder(tmp_path, monkeypatch):
         "--wordembed_path", "", "--wordembed_dim", "16",
         "--batch_size", "8", "--epochs", "1",
         "--random_seed", "2", "--save_result_video", "false",
-        "--prefetch_batches", "0"])
+        "--prefetch_batches", "0", "--steps_per_call", "2"])
     train_cli.main(args)
     ckpt = tmp_path / "out" / "gesture_autoencoder_checkpoint_best.bin"
     assert ckpt.exists()

@@ -579,3 +579,89 @@ def test_gan_prob_clamp_bounds_saturated_d():
     assert np.isfinite(float(clamped))
     for g in grads:
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_scan_multi_step_matches_per_step_all_families():
+    """Host-path --steps_per_call fusion for the non-GAN families
+    (train/resident.py scan_single_state / scan_two_state): the fused
+    K-step program must land where K per-batch steps land (identical
+    rng schedule: fold_in(rng, k))."""
+    import copy
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gesture_generation_from_trimodal_context_tpu.models import factory
+    from gesture_generation_from_trimodal_context_tpu.train import (
+        state as state_lib)
+    from gesture_generation_from_trimodal_context_tpu.train.resident import (
+        scan_single_state, scan_two_state)
+    from gesture_generation_from_trimodal_context_tpu.train.seq2seq_step \
+        import make_seq2seq_train_step
+    from gesture_generation_from_trimodal_context_tpu.train.s2g import (
+        make_s2g_train_step)
+
+    rng = np.random.RandomState(2)
+    K = 2
+    root = jax.random.PRNGKey(5)
+
+    def stack(batches, keys):
+        return {k: jnp.stack([b[k] for b in batches]) for k in keys}
+
+    # ---- seq2seq (single-state; dropout 0 -> deterministic) ----
+    args = tiny_args(model="seq2seq", hidden_size=24, n_layers=2,
+                     dropout_prob=0.0, loss_regression_weight=250.0,
+                     loss_kld_weight=0.1, loss_reg_weight=25.0)
+    bundle = factory.init_model(args, tiny_vocab(), None, 27)
+    gvars = factory.generator_init_variables(bundle, args,
+                                             jax.random.PRNGKey(0), 4)
+    step, tx = make_seq2seq_train_step(bundle, args)
+    batches = [make_batch(rng) for _ in range(K)]
+    keys = ("word_seq", "word_lengths", "target_vec")
+
+    st1 = state_lib.make_net_state(copy.deepcopy(gvars), tx)
+    multi = scan_single_state(step.body)
+    st1, m1 = multi(st1, stack(batches, keys), root)
+
+    st2 = state_lib.make_net_state(copy.deepcopy(gvars), tx)
+    for k in range(K):
+        st2, mk = step(st2, {key: batches[k][key] for key in keys},
+                       jax.random.fold_in(root, k))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3),
+        st1.params, st2.params)
+    np.testing.assert_allclose(np.asarray(m1["loss"][-1]),
+                               np.asarray(mk["loss"]), rtol=1e-4)
+
+    # ---- speech2gesture (two-state) ----
+    args = tiny_args(model="speech2gesture", loss_regression_weight=100.0,
+                     loss_gan_weight=10.0, learning_rate=1e-3,
+                     dropout_prob=0.0)
+    bundle = factory.init_model(args, None, None, 27)
+    key = jax.random.PRNGKey(0)
+    gvars = factory.generator_init_variables(bundle, args, key, 4)
+    dvars = factory.discriminator_init_variables(bundle, args, key, 4)
+    step, gtx, dtx = make_s2g_train_step(bundle, args)
+    keys = ("in_spec", "target_vec")
+
+    g1 = state_lib.make_net_state(copy.deepcopy(gvars), gtx)
+    d1 = state_lib.make_net_state(copy.deepcopy(dvars), dtx)
+    multi2 = scan_two_state(step.body)
+    g1, d1, m1 = multi2(g1, d1, stack(batches, keys), root)
+
+    g2 = state_lib.make_net_state(copy.deepcopy(gvars), gtx)
+    d2 = state_lib.make_net_state(copy.deepcopy(dvars), dtx)
+    for k in range(K):
+        g2, d2, mk = step(g2, d2, {key: batches[k][key] for key in keys},
+                          jax.random.fold_in(root, k))
+    # tolerance: one Adam step moves a weight by up to ~lr regardless of
+    # gradient magnitude (see test_resident_multi_step_matches_per_batch),
+    # so K=2 steps at lr=1e-3 amplify scan-vs-jit float reordering to
+    # O(K * lr) per param
+    for t1, t2 in ((g1.params, g2.params), (d1.params, d2.params)):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=6e-3),
+            t1, t2)
+    np.testing.assert_allclose(np.asarray(m1["loss"][-1]),
+                               np.asarray(mk["loss"]), rtol=1e-3)
