@@ -35,12 +35,15 @@ def evaluate_testset(dataset, eval_step, gen_vars, batch_size):
     losses = AverageMeter("loss")
     start = time.time()
     n_batches = len(dataset) // batch_size
+    pending = []  # device scalars; ONE host sync for the whole pass
     for bi in range(n_batches):
         batch = dataset.make_batch(
             np.arange(bi * batch_size, (bi + 1) * batch_size))
         loss, _ = eval_step(gen_vars["params"], gen_vars["batch_stats"],
                             {"target_vec": batch["target_vec"]},
                             jax.random.PRNGKey(bi))
+        pending.append(loss)
+    for loss in jax.device_get(pending):
         losses.update(float(loss), batch_size)
     logging.info("[VAL] loss: %.3f / %.1fs", losses.avg, time.time() - start)
     return {"loss": losses.avg}
@@ -65,6 +68,9 @@ def main(args, h36m_path=None, trial_epochs=None):
     logging.info("h36m windows: train %d, val %d", len(train_dataset),
                  len(val_dataset))
 
+    from gesture_generation_from_trimodal_context_tpu.utils import (
+        compile_cache)
+    compile_cache.enable()
     bundle = factory.init_model(args, None, None, POSE_DIM)
     rng = jax.random.PRNGKey(max(args.random_seed, 0))
     gvars = factory.generator_init_variables(bundle, args, rng)
@@ -72,6 +78,14 @@ def main(args, h36m_path=None, trial_epochs=None):
     step_fn, tx = make_embed_train_step(bundle, args, use_pose_diff=True)
     eval_step = make_embed_eval_step(bundle)
     state = make_net_state(gvars, tx)
+    # --steps_per_call K: fuse K iterations per dispatch (same scan
+    # fusion the main driver uses; amortizes per-call dispatch latency)
+    steps_per_call = max(1, getattr(args, "steps_per_call", 1) or 1)
+    multi_step = None
+    if steps_per_call > 1:
+        from gesture_generation_from_trimodal_context_tpu.train.resident \
+            import scan_single_state
+        multi_step = scan_single_state(step_fn.body)
 
     start = time.time()
     best_val_loss = (1e10, 0)
@@ -106,23 +120,57 @@ def main(args, h36m_path=None, trial_epochs=None):
 
         order = np.arange(len(train_dataset))
         rs.shuffle(order)
-        iter_start = time.time()
-        for bi in range(n_batches):
-            global_iter += 1
-            batch = train_dataset.make_batch(
-                order[bi * batch_size:(bi + 1) * batch_size], rng=aug_rs)
-            state, metrics = step_fn(
-                state, {"target_vec": batch["target_vec"]},
-                jax.random.fold_in(rng, global_iter))
-            loss_meter.update(float(metrics["loss"]), batch_size)
-            if (bi + 1) % print_interval == 0:
+        interval_start = time.time()
+        interval_iters = 0
+        pending = []  # (n_steps, loss device array); sync per interval
+
+        def flush_pending():
+            for k, loss in jax.device_get(pending):
+                for j in range(k):
+                    loss_meter.update(
+                        float(loss[j] if np.ndim(loss) else loss),
+                        batch_size)
+            pending.clear()
+
+        bi = 0
+        while bi < n_batches:
+            k = steps_per_call if multi_step is not None else 1
+            k = min(k, n_batches - bi)
+            if multi_step is not None and k == steps_per_call:
+                stacked = np.stack([
+                    train_dataset.make_batch(
+                        order[(bi + j) * batch_size:
+                              (bi + j + 1) * batch_size],
+                        rng=aug_rs)["target_vec"] for j in range(k)])
+                global_iter += k
+                state, metrics = multi_step(
+                    state, {"target_vec": stacked},
+                    jax.random.fold_in(rng, global_iter))
+                pending.append((k, metrics["loss"]))
+            else:
+                k = 1
+                global_iter += 1
+                batch = train_dataset.make_batch(
+                    order[bi * batch_size:(bi + 1) * batch_size],
+                    rng=aug_rs)
+                state, metrics = step_fn(
+                    state, {"target_vec": batch["target_vec"]},
+                    jax.random.fold_in(rng, global_iter))
+                pending.append((1, metrics["loss"]))
+            bi += k
+            interval_iters += k
+            if interval_iters >= print_interval:
+                flush_pending()
                 logging.info(
                     "EP %d (%3d) | %8s, %.0f samples/s | loss: %.3f",
-                    epoch, bi + 1, time_since(start),
-                    batch_size / max(1e-6, time.time() - iter_start),
+                    epoch, bi, time_since(start),
+                    batch_size * interval_iters
+                    / max(1e-6, time.time() - interval_start),
                     loss_meter.avg)
                 loss_meter.reset()
-            iter_start = time.time()
+                interval_start = time.time()
+                interval_iters = 0
+        flush_pending()
 
     return best_val_loss
 

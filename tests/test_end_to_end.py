@@ -231,6 +231,24 @@ def test_multimodal_fused_steps_per_call(workdir, fgd_ckpt):
     assert np.isfinite(best["loss"][0])
 
 
+def test_feature_extractor_steps_per_call(workdir):
+    """--steps_per_call fuses K FGD-AE iterations per dispatch via the
+    same scan fusion the main driver uses; an epoch count not divisible
+    by K exercises the singleton tail path too."""
+    args = cfg.parse_args([
+        "--config", _cfg("gesture_autoencoder.yml"),
+        "--model_save_path", str(workdir / "fgd_spc"),
+        "--batch_size", "16", "--random_seed", "5",
+        "--steps_per_call", "3",
+        "--save_result_video", "false"])
+    best = tfe.main(args, h36m_path=str(workdir / "h36m.npz"),
+                    trial_epochs=2)
+    assert np.isfinite(best[0])
+    assert os.path.exists(
+        str(workdir / "fgd_spc" /
+            "gesture_autoencoder_checkpoint_best.bin"))
+
+
 def test_feature_extractor_h36m_augment(workdir):
     """--h36m_augment: the reference's implemented-but-unused gaussian
     joint-noise path (reference h36m_loader.py:44-56) trains when opted
