@@ -9,7 +9,8 @@ this environment, so both layers are implemented here:
 
 - ``LMDBReader``: a pure-python mmap walker of the LMDB file format
   (meta pages -> main DB B-tree -> leaf nodes, with overflow-page
-  values).  Read-only, zero-copy for overflow values.
+  values, dupsort sub-pages/sub-databases, and DUPFIXED LEAF2 pages).
+  Read-only, zero-copy for overflow values.
 - ``legacy_arrow_deserialize``: a decoder for the pyarrow 0.14 python
   serialization format: a small header, an Arrow IPC stream holding the
   object tree as list<dense_union<...>> (decoded with the *modern*
@@ -33,8 +34,11 @@ P_LEAF = 0x02
 P_OVERFLOW = 0x04
 P_META = 0x08
 P_LEAF2 = 0x20
+P_SUBP = 0x40
 # node flags
 F_BIGDATA = 0x01
+F_SUBDATA = 0x02
+F_DUPDATA = 0x04
 
 PAGEHDRSZ = 16
 MDB_MAGIC = 0xBEEFC0DE
@@ -111,11 +115,83 @@ class LMDBReader:
             start = node + 8 + ksize
         return start, datasize
 
-    def _iter_nodes(self, pgno):
-        """Yield (key, value_locator) without copying value bytes."""
+    # -- dupsort support (mdb.c mdb_xcursor_init1) ----------------------
+    #
+    # A key with duplicate values stores them as the KEYS of a nested
+    # structure hanging off its leaf node: an embedded sub-page
+    # (F_DUPDATA) for small dup sets, or a full sub-database B-tree
+    # (F_DUPDATA|F_SUBDATA, node data = MDB_db struct) for large ones.
+    # With MDB_DUPFIXED the nested pages are LEAF2: fixed-size keys
+    # packed back-to-back with no node headers (key size in mp_pad;
+    # mp_lower still advances 2 bytes per key, so NUMKEYS is unchanged).
+
+    def _leaf2_locators(self, base, lower, ksize):
+        """Value locators of a LEAF2 page/sub-page (mdb.c LEAF2KEY)."""
+        nkeys = (lower - PAGEHDRSZ) >> 1
+        for i in range(nkeys):
+            yield base + PAGEHDRSZ + i * ksize, ksize
+
+    def _iter_subpage(self, base):
+        """Value locators of a sub-page embedded in a leaf node's data
+        (P_SUBP); node/ptr offsets are relative to the sub-page start."""
+        pad, flags = struct.unpack_from("<HH", self._mm, base + 8)
+        lower, = struct.unpack_from("<H", self._mm, base + 12)
+        if flags & P_LEAF2:
+            yield from self._leaf2_locators(base, lower, pad)
+            return
+        nkeys = (lower - PAGEHDRSZ) >> 1
+        ptrs = struct.unpack_from("<%dH" % nkeys, self._mm, base + PAGEHDRSZ)
+        for p in ptrs:
+            node = base + p
+            ksz, = struct.unpack_from("<H", self._mm, node + 6)
+            yield node + 8, ksz
+
+    def _iter_dup_tree(self, pgno):
+        """Value locators of a dupsort sub-database tree: dup values are
+        the keys of its LEAF/LEAF2 pages (data sizes are zero)."""
         off, flags, lower, upper = self._page(pgno)
         if flags & P_LEAF2:
-            raise NotImplementedError("LEAF2 (fixed-size dupsort) pages")
+            ksize, = struct.unpack_from("<H", self._mm, off + 8)
+            yield from self._leaf2_locators(off, lower, ksize)
+            return
+        nkeys = (lower - PAGEHDRSZ) >> 1
+        ptrs = struct.unpack_from("<%dH" % nkeys, self._mm, off + PAGEHDRSZ)
+        if flags & P_BRANCH:
+            for p in ptrs:
+                yield from self._iter_dup_tree(self._branch_child(off + p))
+        elif flags & P_LEAF:
+            for p in ptrs:
+                node = off + p
+                ksz, = struct.unpack_from("<H", self._mm, node + 6)
+                yield node + 8, ksz
+        else:
+            raise ValueError("unexpected page flags 0x%x" % flags)
+
+    def _dup_locators(self, node):
+        """Value locators of a dupsort leaf node, first dup first (the
+        generator descends leftmost-first, so ``next()`` costs O(depth))."""
+        lo, hi, nflags, ksize = struct.unpack_from("<HHHH", self._mm, node)
+        data = node + 8 + ksize
+        if nflags & F_SUBDATA:
+            root, = struct.unpack_from("<Q", self._mm, data + 40)  # md_root
+            yield from self._iter_dup_tree(root)
+        else:
+            yield from self._iter_subpage(data)
+
+    def _node_flags(self, node):
+        nflags, = struct.unpack_from("<H", self._mm, node + 4)
+        return nflags
+
+    def _iter_nodes(self, pgno):
+        """Yield (key, value_locator) without copying value bytes;
+        dupsort keys repeat once per duplicate value."""
+        off, flags, lower, upper = self._page(pgno)
+        if flags & P_LEAF2:
+            # main tree entirely DUPFIXED: entries are key-only
+            ksize, = struct.unpack_from("<H", self._mm, off + 8)
+            for start, ksz in self._leaf2_locators(off, lower, ksize):
+                yield bytes(self._mm[start:start + ksz]), (start + ksz, 0)
+            return
         nkeys = (lower - PAGEHDRSZ) >> 1
         ptrs = struct.unpack_from("<%dH" % nkeys, self._mm, off + PAGEHDRSZ)
         if flags & P_BRANCH:
@@ -124,21 +200,40 @@ class LMDBReader:
         elif flags & P_LEAF:
             for p in ptrs:
                 node = off + p
-                yield self._node_key(node), self._leaf_locator(node)
+                key = self._node_key(node)
+                if self._node_flags(node) & F_DUPDATA:
+                    for locator in self._dup_locators(node):
+                        yield key, locator
+                else:
+                    yield key, self._leaf_locator(node)
         else:
             raise ValueError("unexpected page flags 0x%x" % flags)
 
-    def search(self, key):
+    def _descend(self, key):
         """Root-to-leaf B-tree descent with in-page binary search (lmdb
         mdb.c mdb_page_search/mdb_node_search): O(log n) pages touched.
-        Returns the value locator or None."""
+        Returns ('leaf2', locator) | ('node', node_offset) | None."""
         if self.main_root == 0xFFFFFFFFFFFFFFFF:
             return None
         pgno = self.main_root
         while True:
             off, flags, lower, upper = self._page(pgno)
             if flags & P_LEAF2:
-                raise NotImplementedError("LEAF2 (fixed-size dupsort) pages")
+                # DUPFIXED page: binary search the packed fixed-size keys
+                ksize, = struct.unpack_from("<H", self._mm, off + 8)
+                nkeys = (lower - PAGEHDRSZ) >> 1
+                lo_i, hi_i = 0, nkeys - 1
+                while lo_i <= hi_i:
+                    mid = (lo_i + hi_i) >> 1
+                    start = off + PAGEHDRSZ + mid * ksize
+                    k = bytes(self._mm[start:start + ksize])
+                    if k == key:
+                        return ("leaf2", (start + ksize, 0))
+                    if k < key:
+                        lo_i = mid + 1
+                    else:
+                        hi_i = mid - 1
+                return None
             nkeys = (lower - PAGEHDRSZ) >> 1
             if nkeys == 0:
                 return None
@@ -164,7 +259,7 @@ class LMDBReader:
                     node = off + ptrs[mid]
                     k = self._node_key(node)
                     if k == key:
-                        return self._leaf_locator(node)
+                        return ("node", node)
                     if k < key:
                         lo_i = mid + 1
                     else:
@@ -173,10 +268,38 @@ class LMDBReader:
             else:
                 raise ValueError("unexpected page flags 0x%x" % flags)
 
+    def search(self, key):
+        """Value locator for key (first duplicate for dupsort keys, the
+        lmdb cursor set_key position), or None."""
+        hit = self._descend(key)
+        if hit is None:
+            return None
+        kind, payload = hit
+        if kind == "leaf2":
+            return payload
+        if self._node_flags(payload) & F_DUPDATA:
+            return next(self._dup_locators(payload))
+        return self._leaf_locator(payload)
+
     def get(self, key):
         """Value bytes for key, or None."""
         locator = self.search(key)
         return None if locator is None else self._read_value(locator)
+
+    def get_all(self, key):
+        """All duplicate values for key in dup-sort order (single-element
+        list for plain keys) — lmdb cursor first_dup..next_dup — or None
+        if the key is absent."""
+        hit = self._descend(key)
+        if hit is None:
+            return None
+        kind, payload = hit
+        if kind == "leaf2":
+            return [b""]
+        if self._node_flags(payload) & F_DUPDATA:
+            return [self._read_value(loc)
+                    for loc in self._dup_locators(payload)]
+        return [self._read_value(self._leaf_locator(payload))]
 
     def _read_value(self, locator):
         start, size = locator

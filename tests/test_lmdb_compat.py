@@ -312,6 +312,162 @@ def test_high_pgno_bit_packing(tmp_path):
     r.close()
 
 
+# ---------------------------------------------------------------------------
+# dupsort fixtures: embedded sub-pages, sub-database trees, LEAF2 pages
+# ---------------------------------------------------------------------------
+
+def _subpage(values, dupfixed=False):
+    """Embedded dup sub-page (P_SUBP): dup values stored as the keys of
+    a mini LEAF/LEAF2 page, node offsets relative to the sub-page start."""
+    if dupfixed:
+        ksize = len(values[0])
+        assert all(len(v) == ksize for v in values)
+        body = b"".join(values)
+        lower = PAGEHDRSZ + 2 * len(values)
+        return struct.pack("<QHHHH", 0, ksize, 0x20 | 0x40, lower,
+                           PAGEHDRSZ + len(body)) + body
+    nodes = [struct.pack("<HHHH", 0, 0, 0, len(v)) + v for v in values]
+    sizes = [(len(nd) + 1) & ~1 for nd in nodes]
+    total = PAGEHDRSZ + 2 * len(nodes) + sum(sizes)
+    buf = bytearray(total)
+    upper = total
+    offsets = []
+    for nd, sz in zip(nodes, sizes):
+        upper -= sz
+        offsets.append(upper)
+        buf[upper:upper + len(nd)] = nd
+    buf[:PAGEHDRSZ] = struct.pack("<QHHHH", 0, 0, 0x02 | 0x40,
+                                  PAGEHDRSZ + 2 * len(nodes), min(offsets))
+    struct.pack_into("<%dH" % len(offsets), buf, PAGEHDRSZ, *offsets)
+    return bytes(buf)
+
+
+def _dup_node_subpage(key, values, dupfixed=False):
+    """Leaf node with F_DUPDATA: data is the embedded sub-page."""
+    sub = _subpage(values, dupfixed)
+    lo, hi = len(sub) & 0xFFFF, (len(sub) >> 16) & 0xFFFF
+    return struct.pack("<HHHH", lo, hi, 0x04, len(key)) + key + sub
+
+
+def _dup_node_subdb(key, root_pgno, n_entries, depth, leaf2_ksize=0):
+    """Leaf node with F_DUPDATA|F_SUBDATA: data is an MDB_db struct
+    (md_root at offset 40) describing the dup sub-database."""
+    db = struct.pack("<IHHQQQQQ", leaf2_ksize, 0, depth, 0, 1, 0,
+                     n_entries, root_pgno)
+    return struct.pack("<HHHH", len(db), 0, 0x04 | 0x02, len(key)) \
+        + key + db
+
+
+def _leaf2_page(pgno, keys, psize):
+    """Full LEAF2 page: fixed-size keys packed from PAGEHDRSZ, key size
+    in mp_pad, mp_lower advancing 2 bytes per key (mdb.c NUMKEYS)."""
+    ksize = len(keys[0])
+    body = b"".join(keys)
+    lower = PAGEHDRSZ + 2 * len(keys)
+    page = bytearray(psize)
+    page[:PAGEHDRSZ] = struct.pack("<QHHHH", pgno, ksize, 0x20, lower,
+                                   PAGEHDRSZ + len(body))
+    page[PAGEHDRSZ:PAGEHDRSZ + len(body)] = body
+    return bytes(page)
+
+
+def test_dupsort_subpage(tmp_path):
+    """F_DUPDATA leaf nodes with embedded LEAF sub-pages: items() fans
+    out one pair per duplicate, search()/get() return the FIRST dup
+    (lmdb set_key position), get_all() the whole sorted dup set."""
+    dups = [b"val-a", b"val-bb", b"val-ccc"]
+    nodes = [
+        _leaf_node(b"akey", b"plain"),
+        _dup_node_subpage(b"dkey", dups),
+        _leaf_node(b"zkey", b"tail"),
+    ]
+    content = (_meta_page(0, txnid=1, main_root=2, main_entries=5)
+               + _meta_page(1, txnid=2, main_root=2, main_entries=5)
+               + _leaf_page(2, nodes))
+    d = tmp_path / "env"
+    d.mkdir()
+    (d / "data.mdb").write_bytes(content)
+
+    r = LMDBReader(str(d))
+    assert list(r.items()) == [
+        (b"akey", b"plain"), (b"dkey", b"val-a"), (b"dkey", b"val-bb"),
+        (b"dkey", b"val-ccc"), (b"zkey", b"tail")]
+    assert r.get(b"dkey") == b"val-a"
+    assert r.get_all(b"dkey") == dups
+    assert r.get_all(b"akey") == [b"plain"]
+    assert r.get_all(b"nope") is None
+    r.close()
+
+
+def test_dupsort_subpage_dupfixed(tmp_path):
+    """MDB_DUPFIXED dup sets small enough to inline use LEAF2 sub-pages
+    (no per-value node headers)."""
+    dups = [b"%04d" % i for i in range(10)]
+    nodes = [_dup_node_subpage(b"fkey", dups, dupfixed=True)]
+    content = (_meta_page(0, txnid=1, main_root=2, main_entries=10)
+               + _meta_page(1, txnid=2, main_root=2, main_entries=10)
+               + _leaf_page(2, nodes))
+    d = tmp_path / "env"
+    d.mkdir()
+    (d / "data.mdb").write_bytes(content)
+
+    r = LMDBReader(str(d))
+    assert list(r.items()) == [(b"fkey", v) for v in dups]
+    assert r.get(b"fkey") == b"0000"
+    assert r.get_all(b"fkey") == dups
+    r.close()
+
+
+def test_dupsort_subdb_leaf2_tree(tmp_path):
+    """F_DUPDATA|F_SUBDATA: a dup set large enough for its own
+    sub-database — branch root over two LEAF2 pages. First-dup lookup
+    descends leftmost only (O(depth) pages, not O(dups))."""
+    psize = 512
+    dups = [b"%06d" % i for i in range(100)]
+    main = _pack_page(2, 0x02, [_dup_node_subdb(
+        b"bigdup", root_pgno=5, n_entries=len(dups), depth=2,
+        leaf2_ksize=6)], psize)
+    leaf_a = _leaf2_page(3, dups[:50], psize)
+    leaf_b = _leaf2_page(4, dups[50:], psize)
+    branch = _pack_page(5, 0x01, [_branch_node(b"", 3),
+                                  _branch_node(dups[50], 4)], psize)
+    content = (_meta_page_ps(0, 1, 2, len(dups), psize, 6)
+               + _meta_page_ps(1, 2, 2, len(dups), psize, 6)
+               + main + leaf_a + leaf_b + branch)
+    d = tmp_path / "env"
+    d.mkdir()
+    (d / "data.mdb").write_bytes(content)
+
+    r = LMDBReader(str(d))
+    assert list(r.items()) == [(b"bigdup", v) for v in dups]
+    assert r.get(b"bigdup") == b"000000"
+    assert r.get_all(b"bigdup") == dups
+    r.pages_read = 0
+    r.get(b"bigdup")
+    assert r.pages_read <= 3  # main leaf + sub-branch + leftmost LEAF2
+    r.close()
+
+
+def test_main_leaf2_root(tmp_path):
+    """A wholly DUPFIXED main tree (LEAF2 root page): entries are
+    key-only; reads yield empty values instead of raising."""
+    keys = [b"%03d" % i for i in range(20)]
+    content = (_meta_page(0, txnid=1, main_root=2, main_entries=20)
+               + _meta_page(1, txnid=2, main_root=2, main_entries=20)
+               + _leaf2_page(2, keys, PSIZE))
+    d = tmp_path / "env"
+    d.mkdir()
+    (d / "data.mdb").write_bytes(content)
+
+    r = LMDBReader(str(d))
+    got = list(r.items())
+    assert [k for k, _ in got] == keys
+    assert all(v == b"" for _, v in got)
+    assert r.get(b"007") == b""
+    assert r.get(b"abc") is None
+    r.close()
+
+
 def test_store_get_decodes_only_requested_record(tmp_path):
     """LMDBRawStore.get over a branch tree with legacy-arrow values."""
     from gesture_generation_from_trimodal_context_tpu.data.lmdb_compat import (
