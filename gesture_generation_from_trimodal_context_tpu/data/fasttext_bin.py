@@ -13,9 +13,12 @@ version 12 — fastText >= 0.9) and reproduces ``get_word_vector``:
 - n-grams: substrings of "<word>" with length minn..maxn, mapped to
   rows nwords + fnv1a(ngram) % bucket (FNV-1a 32-bit, the fastText hash).
 
-Quantized models (.ftz) are not supported (raise with a clear message).
-Memory: the input matrix is np.memmap'd, so the 7 GB crawl model loads
-lazily.
+Quantized models (.ftz) are supported: the product-quantized input
+matrix (QuantMatrix/ProductQuantizer serialization) decodes rows
+lazily through per-subquantizer centroid tables, with optional qnorm
+rescaling and pruned-dictionary ngram remapping (Dictionary::pushHash).
+Memory: dense matrices are np.memmap'd (the 7 GB crawl model loads
+lazily); quantized codes are memmap'd likewise.
 """
 
 import struct
@@ -51,6 +54,65 @@ def fnv1a(data):
     return h
 
 
+class _QuantInputMatrix:
+    """Product-quantized input matrix of a fastText .ftz model
+    (QuantMatrix::load + ProductQuantizer::load).
+
+    Stream layout: qnorm bool, m/n int64s, codesize int32, codes bytes,
+    then the PQ (dim/nsubq/dsub/lastdsub int32s + dim*256 float32
+    centroids); with qnorm, m norm codes + a 1-d norm PQ follow.  Row i
+    decodes as the concatenation of each subquantizer's centroid row
+    ``codes[i, m]`` (last block is ``lastdsub`` wide), scaled by the
+    dequantized norm when qnorm is set (QuantMatrix::addRowToVector).
+    Codes stay memmap'd; only requested rows materialize."""
+
+    KSUB = 256  # ProductQuantizer ksub_ (8-bit codes)
+
+    def __init__(self, path, offset):
+        with open(path, "rb") as f:
+            f.seek(offset)
+            qnorm, = struct.unpack("<?", f.read(1))
+            m, n = struct.unpack("<qq", f.read(16))
+            codesize, = struct.unpack("<i", f.read(4))
+            codes_offset = f.tell()
+            f.seek(codesize, 1)
+            dim, nsubq, dsub, lastdsub = struct.unpack("<4i", f.read(16))
+            if codesize != m * nsubq:
+                raise ValueError("quantized codesize %d != m*nsubq %d"
+                                 % (codesize, m * nsubq))
+            cents = np.frombuffer(f.read(4 * dim * self.KSUB), dtype="<f4")
+            self.norms = None
+            if qnorm:
+                norm_codes = np.frombuffer(f.read(m), dtype=np.uint8)
+                ndim, _, _, _ = struct.unpack("<4i", f.read(16))
+                ncents = np.frombuffer(f.read(4 * ndim * self.KSUB),
+                                       dtype="<f4")
+                self.norms = ncents[norm_codes]  # norm PQ is 1-d
+            self.end_offset = f.tell()
+        self.rows, self.dim = m, n
+        self.nsubq = nsubq
+        self.codes = np.memmap(path, dtype=np.uint8, mode="r",
+                               offset=codes_offset, shape=(m, nsubq))
+        # per-subquantizer centroid tables (ProductQuantizer::get_centroids:
+        # block m starts at m*ksub*dsub; the last block is lastdsub wide)
+        self.subs = []
+        for mi in range(nsubq):
+            d = lastdsub if mi == nsubq - 1 else dsub
+            start = mi * self.KSUB * dsub
+            self.subs.append(
+                cents[start:start + self.KSUB * d].reshape(self.KSUB, d))
+
+    def __getitem__(self, rows):
+        rows = np.asarray(rows)
+        code = np.asarray(self.codes[rows])
+        out = np.concatenate(
+            [self.subs[mi][code[:, mi]] for mi in range(self.nsubq)],
+            axis=1)
+        if self.norms is not None:
+            out = out * self.norms[rows][:, None]
+        return out
+
+
 class FastTextBin:
     def __init__(self, path):
         self.path = path
@@ -81,14 +143,26 @@ class FastTextBin:
                 f.read(8)         # count (int64)
                 f.read(1)         # entry type (int8)
                 self.word2id[word] = i
+            # pruned-dictionary map (quantize --cutoff): ngram hash id ->
+            # compacted input row (Dictionary::load pruneidx_ pairs);
+            # -1 = unpruned, 0 = all ngram rows pruned
+            self.pruneidx = {}
             for _ in range(max(0, self.pruneidx_size)):
-                f.read(8)         # (int32, int32) pruning pairs
+                first, second = struct.unpack("<ii", f.read(8))
+                self.pruneidx[first] = second
 
+            self.quantized = False
             if version >= 12:
                 quant, = struct.unpack("<?", f.read(1))
-                if quant:
-                    raise NotImplementedError(
-                        "quantized fastText models (.ftz) not supported")
+                self.quantized = bool(quant)
+            if self.quantized:
+                qm = _QuantInputMatrix(path, f.tell())
+                if qm.dim != self.dim:
+                    raise ValueError("dim mismatch: %d vs %d"
+                                     % (qm.dim, self.dim))
+                self.input_matrix = qm
+                self._rows = qm.rows
+                return
             rows, cols = struct.unpack("<qq", f.read(16))
             if cols != self.dim:
                 raise ValueError("dim mismatch: %d vs %d" % (cols, self.dim))
@@ -119,7 +193,16 @@ class FastTextBin:
                 if n == 1 and (start == 0 or end == total):
                     continue
                 ngram = "".join(chars[start:end])
-                ids.append(self.nwords + fnv1a(ngram) % self.bucket)
+                h = fnv1a(ngram) % self.bucket
+                # pruned dictionaries remap (or drop) ngram rows
+                # (Dictionary::pushHash)
+                if self.pruneidx_size == 0:
+                    continue
+                if self.pruneidx_size > 0:
+                    if h not in self.pruneidx:
+                        continue
+                    h = self.pruneidx[h]
+                ids.append(self.nwords + h)
         return ids
 
     def get_word_vector(self, word):

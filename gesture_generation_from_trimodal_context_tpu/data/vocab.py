@@ -82,7 +82,7 @@ class Vocab:
                 np.float32)
 
         if pretrained_path and os.path.exists(pretrained_path):
-            if pretrained_path.endswith(".bin"):
+            if pretrained_path.endswith((".bin", ".ftz")):
                 weights = self._load_fasttext_bin(
                     pretrained_path, weights, embedding_dim)
             elif pretrained_path.endswith(".npz"):

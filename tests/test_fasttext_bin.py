@@ -90,6 +90,121 @@ def test_unicode_ngrams(model):
     assert np.isfinite(v).all()
 
 
+# ---------------------------------------------------------------------------
+# quantized (.ftz) models: product-quantized input matrix + pruned dict
+# ---------------------------------------------------------------------------
+
+QDSUB, QLASTDSUB, QNSUBQ = 3, 2, 3  # DIM 8 = 3 + 3 + 2
+
+
+def _write_quant_bin(path, rng, qnorm=True, pruneidx=None, n_kept=4):
+    """Hand-built .ftz: QuantMatrix (codes + ProductQuantizer centroids,
+    optional qnorm) and a pruned dictionary (ngram hash -> kept row)."""
+    nwords = len(WORDS)
+    rows = nwords + n_kept
+    cents = rng.randn(DIM * 256).astype(np.float32)
+    codes = rng.randint(0, 256, (rows, QNSUBQ)).astype(np.uint8)
+    norm_codes = rng.randint(0, 256, rows).astype(np.uint8)
+    ncents = rng.randn(256).astype(np.float32)
+    pruneidx = pruneidx or {}
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", 793712314, 12))
+        f.write(struct.pack("<12i", DIM, 5, 5, 1, 5, 1, 1, 1, BUCKET,
+                            MINN, MAXN, 100))
+        f.write(struct.pack("<d", 1e-4))
+        f.write(struct.pack("<3i", nwords, nwords, 0))
+        f.write(struct.pack("<q", 1000))
+        f.write(struct.pack("<q", len(pruneidx)))   # pruneidx_size
+        for w in WORDS:
+            f.write(w.encode() + b"\x00")
+            f.write(struct.pack("<q", 10))
+            f.write(struct.pack("<b", 0))
+        for k in sorted(pruneidx):
+            f.write(struct.pack("<ii", k, pruneidx[k]))
+        f.write(struct.pack("<?", True))            # quant_input
+        # QuantMatrix: qnorm, m, n, codesize, codes, pq[, norms, npq]
+        f.write(struct.pack("<?", qnorm))
+        f.write(struct.pack("<qq", rows, DIM))
+        f.write(struct.pack("<i", rows * QNSUBQ))
+        f.write(codes.tobytes())
+        f.write(struct.pack("<4i", DIM, QNSUBQ, QDSUB, QLASTDSUB))
+        f.write(cents.tobytes())
+        if qnorm:
+            f.write(norm_codes.tobytes())
+            f.write(struct.pack("<4i", 1, 1, 1, 1))
+            f.write(ncents.tobytes())
+    norms = ncents[norm_codes] if qnorm else None
+    return cents, codes, norms
+
+
+def _decode_rows(cents, codes, norms, ids):
+    """Reference PQ decode (ProductQuantizer::addcode layout)."""
+    out = []
+    for i in ids:
+        parts = []
+        for m in range(QNSUBQ):
+            d = QLASTDSUB if m == QNSUBQ - 1 else QDSUB
+            start = m * 256 * QDSUB
+            table = cents[start:start + 256 * d].reshape(256, d)
+            parts.append(table[codes[i, m]])
+        v = np.concatenate(parts)
+        if norms is not None:
+            v = v * norms[i]
+        out.append(v)
+    return np.stack(out)
+
+
+@pytest.mark.parametrize("qnorm", [True, False])
+def test_quantized_model_vectors(tmp_path, qnorm):
+    rng = np.random.RandomState(7)
+    path = str(tmp_path / "m.ftz")
+    ngrams = ["<ai", "ai>", "<ai>"]
+    hashes = [fnv1a(ng) % BUCKET for ng in ngrams]
+    # keep the first two ngram rows, prune the third
+    pruneidx = {hashes[0]: 0, hashes[1]: 1}
+    cents, codes, norms = _write_quant_bin(path, rng, qnorm=qnorm,
+                                           pruneidx=pruneidx)
+    m = FastTextBin(path)
+    assert m.quantized
+    expected_ids = [2, 3 + 0, 3 + 1]  # word row "ai" + 2 kept ngram rows
+    expected = _decode_rows(cents, codes, norms, expected_ids).mean(axis=0)
+    np.testing.assert_allclose(m.get_word_vector("ai"), expected,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_quantized_pruneidx_zero_drops_all_ngrams(tmp_path):
+    """pruneidx_size == 0: every ngram row was pruned away; in-vocab
+    words decode from the word row alone (Dictionary::pushHash early
+    return)."""
+    rng = np.random.RandomState(8)
+    path = str(tmp_path / "m.ftz")
+    cents, codes, norms = _write_quant_bin(path, rng, qnorm=True,
+                                           pruneidx={})
+    m = FastTextBin(path)
+    assert m.subword_ids("ai") == []
+    expected = _decode_rows(cents, codes, norms, [2])[0]
+    np.testing.assert_allclose(m.get_word_vector("ai"), expected,
+                               rtol=1e-5, atol=1e-6)
+    # fully OOV: no rows at all -> zero vector
+    np.testing.assert_array_equal(m.get_word_vector("qqq"),
+                                  np.zeros(DIM, np.float32))
+
+
+def test_vocab_loads_ftz(tmp_path):
+    """Vocab dispatches .ftz paths to the binary reader (quantized)."""
+    rng = np.random.RandomState(9)
+    path = str(tmp_path / "m.ftz")
+    cents, codes, norms = _write_quant_bin(
+        path, rng, pruneidx={h: h % 4 for h in range(0, BUCKET, 7)})
+    v = Vocab("words")
+    v.index_word("hello")
+    v.load_word_vectors(path, DIM)
+    m = FastTextBin(path)
+    np.testing.assert_allclose(
+        v.word_embedding_weights[v.word2index["hello"]],
+        m.get_word_vector("hello"), rtol=1e-6)
+
+
 def test_vocab_integration(tmp_path):
     rng = np.random.RandomState(1)
     path = str(tmp_path / "m.bin")
