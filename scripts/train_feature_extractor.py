@@ -35,6 +35,14 @@ def evaluate_testset(dataset, eval_step, gen_vars, batch_size):
     losses = AverageMeter("loss")
     start = time.time()
     n_batches = len(dataset) // batch_size
+    if n_batches == 0 and len(dataset) > 0:
+        # val set smaller than one batch (tiny/smoke datasets): evaluate
+        # all rows in a single short batch instead of silently reporting
+        # 0.0 and checkpointing an untrained net as "best"
+        batch_size = len(dataset)
+        n_batches = 1
+        logging.warning("val set (%d) smaller than batch; evaluating one "
+                        "short batch", batch_size)
     pending = []  # device scalars; ONE host sync for the whole pass
     for bi in range(n_batches):
         batch = dataset.make_batch(
