@@ -737,6 +737,11 @@ def evaluate_testset(test_loader, gen_vars, eval_step, bundle, args,
             joint_mae.update(float(mae), batch_size)
             accel.update(float(acc), batch_size)
 
+    if losses.count == 0:
+        # val set smaller than one batch (drop-last iterator yields
+        # nothing): don't report 0.0 or crown an untrained net "best"
+        logging.warning("val pass saw no full batches; reporting inf loss")
+        return {"loss": float("inf"), "joint_mae": float("inf")}
     ret = {"loss": losses.avg, "joint_mae": joint_mae.avg}
     elapsed = time.time() - start
     if embed_space_evaluator and embed_space_evaluator.get_no_of_samples() > 0:
