@@ -347,26 +347,37 @@ def _assert_trees_equal(a, b, path=""):
         raise AssertionError("export round-trip value drift at %s" % path)
 
 
-def _reference_vocab(v):
-    """Our Vocab -> an instance pickled as ``model.vocab.Vocab`` (the
-    class the reference environment unpickles; attribute-identical)."""
-    if v is None or isinstance(v, int):
-        return v
+def _shim_reference_vocab_module(added):
+    """Ensure ``model.vocab.Vocab`` resolves during pickling (pickle
+    verifies the declared module path at save time).  Uses the real
+    reference module when importable; otherwise registers temporary
+    shims, recording them in ``added`` so the caller can pop them
+    (mirrors torch_import._load_torch_blob's add/cleanup discipline)."""
     pkg = sys.modules.get("model")
     if pkg is None:
         pkg = types.ModuleType("model")
         sys.modules["model"] = pkg
+        added.append("model")
     shim = sys.modules.get("model.vocab")
     if shim is None:
         shim = types.ModuleType("model.vocab")
         sys.modules["model.vocab"] = shim
         pkg.vocab = shim
+        added.append("model.vocab")
     cls = getattr(shim, "Vocab", None)
     if cls is None:
         cls = type("Vocab", (Vocab,), {})
         cls.__module__ = "model.vocab"
         cls.__qualname__ = "Vocab"
         shim.Vocab = cls
+    return cls
+
+
+def _reference_vocab(v, cls):
+    """Our Vocab -> an instance pickled as ``model.vocab.Vocab`` (the
+    class the reference environment unpickles; attribute-identical)."""
+    if v is None or isinstance(v, int):
+        return v
     out = cls.__new__(cls)
     out.__dict__.update(v.__dict__)
     return out
@@ -423,16 +434,23 @@ def export_checkpoint(our_path, torch_path):
         return collections.OrderedDict(
             (k, torch.from_numpy(np.array(v))) for k, v in sd.items())
 
-    blob = {
-        "args": _reference_args(args),
-        "epoch": int(ckpt["epoch"]),
-        "lang_model": _reference_vocab(ckpt["lang_model"]),
-        "speaker_model": _reference_vocab(ckpt["speaker_model"]),
-        "pose_dim": int(ckpt["pose_dim"]),
-        "gen_dict": to_torch(gen_sd),
-        "dis_dict": to_torch(dis_sd),
-    }
-    torch.save(blob, torch_path)
+    added = []
+    try:
+        vocab_cls = _shim_reference_vocab_module(added)
+        blob = {
+            "args": _reference_args(args),
+            "epoch": int(ckpt["epoch"]),
+            "lang_model": _reference_vocab(ckpt["lang_model"], vocab_cls),
+            "speaker_model": _reference_vocab(ckpt["speaker_model"],
+                                              vocab_cls),
+            "pose_dim": int(ckpt["pose_dim"]),
+            "gen_dict": to_torch(gen_sd),
+            "dis_dict": to_torch(dis_sd),
+        }
+        torch.save(blob, torch_path)
+    finally:
+        for name in added:
+            sys.modules.pop(name, None)
     logging.info("exported %s -> %s (model=%s epoch=%d)", our_path,
                  torch_path, args.model, blob["epoch"])
     return torch_path

@@ -35,7 +35,10 @@ def evaluate_testset(dataset, eval_step, gen_vars, batch_size):
     losses = AverageMeter("loss")
     start = time.time()
     n_batches = len(dataset) // batch_size
-    if n_batches == 0 and len(dataset) > 0:
+    if len(dataset) == 0:
+        logging.warning("val set is empty; reporting inf loss")
+        return {"loss": float("inf")}
+    if n_batches == 0:
         # val set smaller than one batch (tiny/smoke datasets): evaluate
         # all rows in a single short batch instead of silently reporting
         # 0.0 and checkpointing an untrained net as "best"
