@@ -152,6 +152,13 @@ def _tpu_options():
     # but never enables it (reference h36m_loader.py:44-48,100-104);
     # default off for parity
     add(_Opt("h36m_augment", str2bool, False))
+    # multimodal_context discriminator: 'conv' (default, what the
+    # reference trains), 'gru' (the reference's dormant recurrent
+    # Discriminator class, multimodal_context_net.py:163-204), or
+    # 'gru_text' (the same with its text-conditioning branch, which the
+    # reference defines but cannot construct as written, rebuilt working
+    # — models/multimodal_context.GRUDiscriminator)
+    add(_Opt("discriminator_type", str, "conv"))
     add(_Opt("deterministic_tb_dir", str2bool, False))  # stable tensorboard dir name (tests)
     return o
 

@@ -155,6 +155,26 @@ def export_conv_discriminator(params, stats):
     return out
 
 
+def export_gru_discriminator(params, stats):
+    """Inverse of convert_gru_discriminator (reference
+    multimodal_context_net.py:163-204)."""
+    out = {}
+    if "TextEncoderTCN_0" in params:
+        _text_encoder_tcn(out, params["TextEncoderTCN_0"], "text_encoder")
+    _gru(out, params["GRU_0"], "gru")
+    _linear(out, params["TorchDense_0"], "out")
+    _linear(out, params["TorchDense_1"], "out2")
+    return out
+
+
+def export_mmc_discriminator(params, stats):
+    """Dispatch on the param-tree shape, mirroring
+    torch_import.convert_mmc_discriminator."""
+    if "TorchConv_0" in params:
+        return export_conv_discriminator(params, stats)
+    return export_gru_discriminator(params, stats)
+
+
 def _pose_encoder_conv(out, params, stats, p):
     for i in range(3):
         _conv1d(out, params["ConvNormRelu_%d" % i]["TorchConv_0"],
@@ -298,7 +318,7 @@ _GEN_EXPORTERS = {
 }
 
 _DIS_EXPORTERS = {
-    "multimodal_context": export_conv_discriminator,
+    "multimodal_context": export_mmc_discriminator,
     "speech2gesture": export_s2g_discriminator,
 }
 

@@ -267,6 +267,28 @@ def convert_conv_discriminator(sd):
     return params, stats
 
 
+def convert_gru_discriminator(sd):
+    """reference recurrent ``Discriminator`` (multimodal_context_net.py:
+    163-204), optionally text-conditioned (models/multimodal_context.
+    GRUDiscriminator)."""
+    params, stats = {}, {}
+    if "text_encoder.embedding.weight" in sd:
+        params["TextEncoderTCN_0"] = _text_encoder_tcn(sd, "text_encoder")
+    params["GRU_0"] = _gru(sd, "gru")
+    params["TorchDense_0"] = _linear(sd, "out")
+    params["TorchDense_1"] = _linear(sd, "out2")
+    return params, stats
+
+
+def convert_mmc_discriminator(sd):
+    """Dispatch on the state-dict shape: the conv discriminator (what
+    reference train.py instantiates) carries a ``pre_conv`` stack; the
+    dormant recurrent one does not."""
+    if "pre_conv.0.weight" in sd:
+        return convert_conv_discriminator(sd)
+    return convert_gru_discriminator(sd)
+
+
 def _pose_encoder_conv(sd, p):
     """reference PoseEncoderConv (embedding_net.py:42-82)."""
     params, stats = {}, {}
@@ -433,7 +455,7 @@ _GEN_CONVERTERS = {
 }
 
 _DIS_CONVERTERS = {
-    "multimodal_context": convert_conv_discriminator,
+    "multimodal_context": convert_mmc_discriminator,
     "speech2gesture": convert_s2g_discriminator,
 }
 

@@ -59,8 +59,22 @@ def init_model(args, lang_model, speaker_model, pose_dim) -> ModelBundle:
             z_type=z_type,
             n_speakers=n_speakers,
             freeze_wordembed=args.freeze_wordembed)
-        discriminator = multimodal_context.ConvDiscriminator(
-            input_size=pose_dim)
+        dis_type = getattr(args, "discriminator_type", "conv") or "conv"
+        if dis_type == "conv":
+            discriminator = multimodal_context.ConvDiscriminator(
+                input_size=pose_dim)
+        elif dis_type in ("gru", "gru_text"):
+            discriminator = multimodal_context.GRUDiscriminator(
+                input_size=pose_dim,
+                hidden_size=args.hidden_size,
+                n_layers=args.n_layers,
+                dropout_prob=args.dropout_prob,
+                use_text=(dis_type == "gru_text"),
+                n_words=lang_model.n_words,
+                word_embed_size=args.wordembed_dim,
+                freeze_wordembed=args.freeze_wordembed)
+        else:
+            raise ValueError("unknown discriminator_type %r" % (dis_type,))
     elif name == "joint_embedding":
         generator = embedding_net.EmbeddingNet(
             pose_dim=pose_dim, n_frames=n_frames, mode="random",
@@ -140,6 +154,9 @@ def discriminator_init_variables(bundle, args, rng, batch_size=2):
     if bundle.discriminator is None:
         return None
     ex = example_inputs(args, bundle.pose_dim, batch_size)
+    if getattr(bundle.discriminator, "use_text", False):
+        return bundle.discriminator.init({"params": rng}, ex["target_vec"],
+                                         ex["in_text"])
     return bundle.discriminator.init({"params": rng}, ex["target_vec"])
 
 

@@ -15,10 +15,14 @@ frames -> 4-layer bi-GRU(64) summed -> per-frame linear -> Linear(28->1)
 Quirk preserved: the generator head's and discriminator's
 ``nn.LeakyReLU(True)`` activations are identities (see ops/layers).
 
-The separate text-conditioned ``Discriminator`` class in the reference
-(multimodal_context_net.py:163-204) is never instantiated by train.py and
-its TextEncoderTCN call is stale/broken; it is intentionally not rebuilt
-(SURVEY.md §7.2).
+GRUDiscriminator rebuilds the separate text-conditioned ``Discriminator``
+class (multimodal_context_net.py:163-204) that the reference defines but
+never instantiates: its no-text path is parity-tested against the
+executed reference class, and its text path — which cannot even be
+constructed as written upstream (the TextEncoderTCN(...) call at :170
+passes n_words where the ``args`` namespace is expected) — is rebuilt
+working.  Opt-in via --discriminator_type {gru,gru_text}; the default
+(conv) keeps the reference's actual training configuration.
 """
 
 from typing import Optional
@@ -129,4 +133,51 @@ class ConvDiscriminator(nn.Module):
         out = TorchDense(1)(out)          # per-frame score
         out = out[..., 0]                 # (B, T')
         out = TorchDense(1)(out)          # aggregate over the 28 frames
+        return jax.nn.sigmoid(out)
+
+
+class GRUDiscriminator(nn.Module):
+    """Recurrent (optionally text-conditioned) sequence discriminator
+    (reference multimodal_context_net.py:163-204 ``Discriminator``).
+
+    poses (B, n_poses, pose_dim) [concat text feat 32 when use_text] ->
+    n_layers bi-GRU(hidden) with summed directions -> per-frame
+    Linear(hidden->1) -> (B, n_poses) -> Linear(n_poses->1) -> sigmoid.
+    Unlike ConvDiscriminator there is no conv front-end, so the
+    time-aggregating head requires the input length to equal n_poses.
+
+    The reference never instantiates this class, and its text branch is
+    unconstructible as written (multimodal_context_net.py:170 calls
+    TextEncoderTCN(n_words, word_embed_size, word_embeddings) against
+    the signature (args, n_words, embed_size, pre_trained_embedding));
+    the no-text path below is parity-tested against the executed
+    reference class, and the text path is rebuilt with the encoder the
+    generator uses (DOCUMENTED DEVIATION, opt-in via
+    --discriminator_type gru_text)."""
+    input_size: int
+    hidden_size: int
+    n_layers: int
+    dropout_prob: float = 0.3
+    use_text: bool = False
+    n_words: int = 0
+    word_embed_size: int = 0
+    freeze_wordembed: bool = False
+
+    @nn.compact
+    def __call__(self, poses, in_text=None, train: bool = False):
+        if self.use_text:
+            text_feat, _ = TextEncoderTCN(
+                n_words=self.n_words, embed_size=self.word_embed_size,
+                hidden_size=self.hidden_size, n_layers=self.n_layers,
+                dropout=self.dropout_prob,
+                freeze_wordembed=self.freeze_wordembed)(in_text, train=train)
+            poses = jnp.concatenate([poses, text_feat], axis=2)
+        out, _ = GRU(hidden_size=self.hidden_size,
+                     num_layers=self.n_layers, bidirectional=True,
+                     dropout=self.dropout_prob)(
+                         poses, deterministic=not train)
+        out = out[:, :, :self.hidden_size] + out[:, :, self.hidden_size:]
+        out = TorchDense(1)(out)          # per-frame score ("self.out")
+        out = out[..., 0]                 # (B, n_poses)
+        out = TorchDense(1)(out)          # Linear(n_poses->1) ("self.out2")
         return jax.nn.sigmoid(out)

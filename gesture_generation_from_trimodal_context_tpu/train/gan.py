@@ -82,8 +82,17 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
         return apply_net(gen, params, bstats, pre_seq, in_text, in_audio,
                          vids, train=True, rngs=rngs)
 
-    def dis_fwd(params, bstats, poses, rng):
+    # the text-conditioned GRU discriminator (--discriminator_type
+    # gru_text) consumes the batch's word indices alongside the poses;
+    # conv/gru discriminators ignore them (every call site passes the
+    # in-scope in_text so all step variants support both)
+    dis_text = getattr(dis, "use_text", False)
+
+    def dis_fwd(params, bstats, poses, in_text, rng):
         rngs = split_rngs(rng, ("dropout",))
+        if dis_text:
+            return apply_net(dis, params, bstats, poses, in_text,
+                             train=True, rngs=rngs)
         return apply_net(dis, params, bstats, poses, train=True, rngs=rngs)
 
     def _chain_updates(s0, r_once, n):
@@ -181,7 +190,7 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
                 both = jnp.stack([target, fake])          # (2, B, T, D)
                 d_both, bs2 = jax.vmap(
                     lambda poses, k: dis_fwd(d_params, dis_state.batch_stats,
-                                             poses, k))(
+                                             poses, in_text, k))(
                     both, jnp.stack([r[1], r[2]]))
                 loss = -jnp.mean(log_d(d_both[0])
                                  + log_1md(d_both[1]))
@@ -204,7 +213,7 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
                 g_params, gen_bs, pre_seq, in_text, in_audio, vids, r[3])
             huber = smooth_l1(out, target, beta=0.1)
             d_out, d_bs = dis_fwd(dis_state.params, dis_state.batch_stats,
-                                  out, r[4])
+                                  out, in_text, r[4])
             gen_err = -jnp.mean(log_d(d_out))
 
             aux_metrics = {"loss": w_rg * huber}
@@ -308,7 +317,7 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
                 both = jnp.stack([target, fake])
                 d_both, bs2 = jax.vmap(
                     lambda poses, k: dis_fwd(d_params, dis_state.batch_stats,
-                                             poses, k))(
+                                             poses, in_text, k))(
                     both, jnp.stack([r[1], r[2]]))
                 loss = -jnp.mean(log_d(d_both[0])
                                  + log_1md(d_both[1]))
@@ -328,7 +337,7 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
             out = out_all[:B]
             huber = smooth_l1(out, target, beta=0.1)
             d_out, d_bs = dis_fwd(dis_state.params, dis_state.batch_stats,
-                                  out, r[4])
+                                  out, in_text, r[4])
             gen_err = -jnp.mean(log_d(d_out))
 
             aux_metrics = {"loss": w_rg * huber}
@@ -389,8 +398,8 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
 
             def d_loss_fn(d_params):
                 d_real, bs1 = dis_fwd(d_params, dis_state.batch_stats,
-                                      target, r[1])
-                d_fake, bs2 = dis_fwd(d_params, bs1, fake, r[2])
+                                      target, in_text, r[1])
+                d_fake, bs2 = dis_fwd(d_params, bs1, fake, in_text, r[2])
                 loss = -jnp.mean(log_d(d_real)
                                  + log_1md(d_fake))
                 return loss, bs2
@@ -407,7 +416,7 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
                 g_params, gen_bs, pre_seq, in_text, in_audio, vids, r[3])
             huber = smooth_l1(out, target, beta=0.1)
             d_out, d_bs = dis_fwd(dis_state.params, dis_state.batch_stats,
-                                  out, r[4])
+                                  out, in_text, r[4])
             gen_err = -jnp.mean(log_d(d_out))
 
             aux_metrics = {"loss": w_rg * huber}

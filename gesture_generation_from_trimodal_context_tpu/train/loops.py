@@ -197,6 +197,12 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
         gvars, lang_model.word_embedding_weights
         if lang_model is not None else None)
     dvars = factory.discriminator_init_variables(bundle, args, root_rng)
+    if getattr(bundle.discriminator, "use_text", False):
+        # the text-conditioned discriminator carries its own TextEncoderTCN
+        # embedding table; seed it like the generator's
+        dvars = factory.load_pretrained_word_embedding(
+            dvars, lang_model.word_embedding_weights
+            if lang_model is not None else None)
 
     # FGD evaluator
     embed_space_evaluator = None

@@ -143,6 +143,25 @@ def test_train_cli_device_resident_data(tmp_path):
     train_cli.main(args2)
 
 
+def test_train_cli_gru_text_discriminator(tmp_path):
+    """--discriminator_type gru_text trains through the CLI driver with
+    resident data + fused steps: the text-conditioned recurrent
+    discriminator consumes the in-graph-gathered word indices in every
+    step variant (train/gan.py dis_fwd)."""
+    base = tmp_path / "data" / "ted_dataset"
+    for split in ("lmdb_train", "lmdb_val", "lmdb_test"):
+        synthetic.make_synthetic_raw_store(str(base / split), n_videos=2,
+                                           clips_per_video=1,
+                                           clip_duration_s=8.0,
+                                           seed=hash(split) % 73)
+    args = _mmc_args(tmp_path, base, ["--discriminator_type", "gru_text",
+                                      "--device_resident_data", "true",
+                                      "--steps_per_call", "2"])
+    train_cli.main(args)
+    assert (tmp_path / "out" /
+            "multimodal_context_checkpoint_best.bin").exists()
+
+
 def _family_args(tmp_path, base, cfg_name, extra):
     return cfg.parse_args([
         "--config", _cfg(cfg_name),
