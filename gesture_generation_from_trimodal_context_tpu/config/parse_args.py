@@ -152,6 +152,12 @@ def _tpu_options():
     # but never enables it (reference h36m_loader.py:44-48,100-104);
     # default off for parity
     add(_Opt("h36m_augment", str2bool, False))
+    # the reference's dormant noisy-target D-step path: train_gan.py
+    # hard-codes use_noisy_target=False but implements N(0, 0.1) noise
+    # on the discriminator's real/fake inputs (reference
+    # train_gan.py:8-10,17,32-39); exposed as a flag, default off =
+    # reference behavior
+    add(_Opt("use_noisy_target", str2bool, False))
     # multimodal_context discriminator: 'conv' (default, what the
     # reference trains), 'gru' (the reference's dormant recurrent
     # Discriminator class, multimodal_context_net.py:163-204), or

@@ -95,6 +95,20 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
                              train=True, rngs=rngs)
         return apply_net(dis, params, bstats, poses, train=True, rngs=rngs)
 
+    # the reference's dormant noisy-target D path (train_gan.py:8-10,17,
+    # 32-39 — implemented upstream but hard-disabled): N(0, 0.1) noise on
+    # the D-step's real/fake pose inputs; --use_noisy_target opts in.
+    # The G-step's discriminator forward stays clean, like the reference.
+    noisy_target = bool(getattr(args, "use_noisy_target", False))
+
+    def d_inputs(target, fake, key):
+        if not noisy_target:
+            return target, fake
+        k1, k2 = jax.random.split(key)
+        return (target + 0.1 * jax.random.normal(k1, target.shape,
+                                                 target.dtype),
+                fake + 0.1 * jax.random.normal(k2, fake.shape, fake.dtype))
+
     def _chain_updates(s0, r_once, n):
         """Exact running-stat chain for n sequential BN updates that all
         see the SAME batch statistics b, given one observed update
@@ -187,7 +201,8 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
         # separate forwards; the recurrent matmuls batch on the MXU) ----
         if train_d:
             def d_loss_fn(d_params):
-                both = jnp.stack([target, fake])          # (2, B, T, D)
+                both = jnp.stack(d_inputs(target, fake,
+                                          jax.random.fold_in(r[1], 777)))
                 d_both, bs2 = jax.vmap(
                     lambda poses, k: dis_fwd(d_params, dis_state.batch_stats,
                                              poses, in_text, k))(
@@ -314,7 +329,8 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
             fake = jax.lax.stop_gradient(big_out[B:2 * B])
 
             def d_loss_fn(d_params):
-                both = jnp.stack([target, fake])
+                both = jnp.stack(d_inputs(target, fake,
+                                          jax.random.fold_in(r[1], 777)))
                 d_both, bs2 = jax.vmap(
                     lambda poses, k: dis_fwd(d_params, dis_state.batch_stats,
                                              poses, in_text, k))(
@@ -395,11 +411,13 @@ def make_gan_train_step(bundle, args, grad_reduce=None):
             (fake, *_), gen_bs = gen_fwd(gen_state.params, gen_bs, pre_seq,
                                          in_text, in_audio, vids, r[0])
             fake = jax.lax.stop_gradient(fake)
+            target_d, fake_d = d_inputs(target, fake,
+                                        jax.random.fold_in(r[1], 777))
 
             def d_loss_fn(d_params):
                 d_real, bs1 = dis_fwd(d_params, dis_state.batch_stats,
-                                      target, in_text, r[1])
-                d_fake, bs2 = dis_fwd(d_params, bs1, fake, in_text, r[2])
+                                      target_d, in_text, r[1])
+                d_fake, bs2 = dis_fwd(d_params, bs1, fake_d, in_text, r[2])
                 loss = -jnp.mean(log_d(d_real)
                                  + log_1md(d_fake))
                 return loss, bs2

@@ -99,6 +99,42 @@ def test_gan_train_step(rng):
     assert param_l2_delta(d0, dis_state.params) > 0
 
 
+@pytest.mark.parametrize("mode", ["faithful", "fused", "fold"])
+def test_noisy_target_d_step(rng, mode):
+    """--use_noisy_target (the reference's implemented-but-hard-disabled
+    N(0, 0.1) D-input noise, train_gan.py:8-10,17): enabling it perturbs
+    ONLY the D loss — the G-step losses see clean inputs, like the
+    reference — in every step variant."""
+    import copy
+
+    def run(noisy):
+        args = tiny_args(z_type="none", dropout_prob=0.0, loss_warmup=0,
+                         use_noisy_target=noisy,
+                         fused_gen_forwards=(mode == "fused"),
+                         fold_all_forwards=(mode == "fold"))
+        bundle = factory.init_model(args, tiny_vocab(), None, 27)
+        key = jax.random.PRNGKey(7)
+        gvars = factory.generator_init_variables(bundle, args, key, 2)
+        dvars = factory.discriminator_init_variables(bundle, args, key, 2)
+        step, gen_tx, dis_tx = make_gan_train_step(bundle, args)
+        gen_state = state_lib.make_net_state(copy.deepcopy(gvars), gen_tx)
+        dis_state = state_lib.make_net_state(copy.deepcopy(dvars), dis_tx)
+        batch = {k: make_batch(rng_)[k]
+                 for k in ("in_text", "in_audio", "target_vec")}
+        _, _, m = step(gen_state, dis_state, batch, jax.random.PRNGKey(13),
+                       train_d=True, add_gan=True)
+        return {k: float(v) for k, v in m.items()}
+
+    rng_ = np.random.RandomState(3)
+    clean = run(False)
+    rng_ = np.random.RandomState(3)
+    noisy = run(True)
+    assert all(np.isfinite(v) for v in noisy.values())
+    assert abs(clean["dis"] - noisy["dis"]) > 1e-7
+    # G-step metrics are computed from clean inputs in both cases
+    np.testing.assert_allclose(clean["loss"], noisy["loss"], rtol=1e-6)
+
+
 def test_autoencoder_loss_decreases(rng):
     args = tiny_args(model="gesture_autoencoder", learning_rate=1e-3)
     bundle = factory.init_model(args, None, None, 27)
