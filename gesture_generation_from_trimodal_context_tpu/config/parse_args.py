@@ -104,7 +104,12 @@ def _tpu_options():
     # embedding tensor parallelism: row-shard (vocab, dim) tables over a
     # 'model' mesh axis of this size (2-D mesh, requires dp_strategy=jit)
     add(_Opt("tp_devices", int, 1))
-    add(_Opt("use_pallas", str2bool, False))   # Pallas-fused GRU kernels on TPU
+    # Pallas-fused GRU kernels for TRAINING (default off: the XLA scan
+    # is ~parity at batch, RESULTS.md).  The synthesis engine chooses
+    # its kernel independently of this (and of the value recorded in a
+    # checkpoint's args): pallas on a TPU backend — measured 1.22x at
+    # B=1 — with a GG_USE_PALLAS=0/1 env override (synthesis/engine.py)
+    add(_Opt("use_pallas", str2bool, None))
     add(_Opt("prefetch_batches", int, 2))      # host->device prefetch depth
     add(_Opt("steps_per_call", int, 1))        # train steps fused per jit call (lax.scan over microbatches)
     # DOCUMENTED DEVIATION: batches the adversarial step's no-grad

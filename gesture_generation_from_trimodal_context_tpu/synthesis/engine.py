@@ -23,6 +23,7 @@ the time axis (reference synthesize.py:90); we index the time axis.
 
 import logging
 import math
+import os
 import random
 import time
 
@@ -66,6 +67,15 @@ def _make_window_fn(bundle, args):
 WORD_CAP = 64  # fixed word capacity per window (single compile)
 
 
+def _tpu_backend():
+    """True when the default JAX backend is a TPU (incl. the tunneled
+    'axon' dev platform); used by the use_pallas=None auto policy."""
+    try:
+        return jax.devices()[0].platform.lower() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def generate_gestures(args, bundle, gen_vars, lang_model, audio, words,
                       audio_sr=16000, vid=None, seed_seq=None,
                       fade_out=False, rng=None):
@@ -78,9 +88,20 @@ def generate_gestures(args, bundle, gen_vars, lang_model, audio, words,
         random.randrange(2 ** 31))
 
     use_spectrogram = bundle.model_name == "speech2gesture"
-    if getattr(args, "use_pallas", False):
-        from ..ops.recurrent import set_gru_impl
-        set_gru_impl("pallas")
+    from ..ops.recurrent import set_gru_impl
+    # The checkpoint's args record the TRAINING-time --use_pallas; the
+    # inference kernel choice is made here instead (numerics are
+    # parity-pinned either way): GG_USE_PALLAS=0/1 overrides, else AUTO —
+    # the fused on-core kernel wins the B=1 window forward on a TPU
+    # backend (measured 1.22x, RESULTS.md), scan elsewhere.
+    env = os.environ.get("GG_USE_PALLAS")
+    if env is not None:
+        use_pallas = env.lower() in ("1", "true", "yes")
+    else:
+        use_pallas = _tpu_backend()
+    set_gru_impl("pallas" if use_pallas else "scan")
+    logging.info("synthesis GRU impl: %s",
+                 "pallas" if use_pallas else "scan")
     window_fn = _make_window_fn(bundle, args)
 
     # seed pre-seq (reference synthesize.py:47-50)

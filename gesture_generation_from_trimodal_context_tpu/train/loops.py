@@ -148,12 +148,17 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
 
     speaker_model = factory.resolve_speaker_model(args, speaker_model)
 
-    if getattr(args, "use_pallas", False):
+    from ..ops.recurrent import set_gru_impl
+    if getattr(args, "use_pallas", None):
         # Pallas-fused GRU kernels for every forward built below (fastest
         # for inference-heavy loops; training backward re-runs the scan
         # math, see ops/pallas_gru.py)
-        from ..ops.recurrent import set_gru_impl
         set_gru_impl("pallas")
+    else:
+        # None (auto) means scan for TRAINING (measured ~parity at batch,
+        # RESULTS.md); also resets impl state a prior synthesis call in
+        # this process may have switched to pallas
+        set_gru_impl("scan")
     if (getattr(args, "scan_unroll", 1) or 1) > 1:
         from ..ops.recurrent import set_scan_unroll
         set_scan_unroll(args.scan_unroll)

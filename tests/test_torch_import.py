@@ -78,7 +78,7 @@ def test_import_pose_generator_full_output_match(ref_mods, tmp_path):
         load_checkpoint_and_model(out_path, jax.random.PRNGKey(0))
     assert pose_dim == 27 and spk2 is None
     assert lang2.n_words == lang.n_words and lang2.word2index == lang.word2index
-    assert loaded_args.use_pallas is False  # TPU defaults filled in
+    assert loaded_args.use_pallas is None  # TPU defaults filled in (auto)
 
     rng = np.random.RandomState(1)
     pre_seq = (0.1 * rng.randn(2, 34, 28)).astype(np.float32)
