@@ -367,23 +367,31 @@ def _assert_trees_equal(a, b, path=""):
         raise AssertionError("export round-trip value drift at %s" % path)
 
 
-def _shim_reference_vocab_module(added):
+def _shim_reference_vocab_module(cleanup):
     """Ensure ``model.vocab.Vocab`` resolves during pickling (pickle
     verifies the declared module path at save time).  Uses the real
     reference module when importable; otherwise registers temporary
-    shims, recording them in ``added`` so the caller can pop them
-    (mirrors torch_import._load_torch_blob's add/cleanup discipline)."""
+    shims, appending undo thunks to ``cleanup`` so the caller restores
+    sys.modules AND any attribute set on a pre-existing real ``model``
+    package (mirrors torch_import._load_torch_blob's discipline)."""
     pkg = sys.modules.get("model")
     if pkg is None:
         pkg = types.ModuleType("model")
         sys.modules["model"] = pkg
-        added.append("model")
+        cleanup.append(lambda: sys.modules.pop("model", None))
     shim = sys.modules.get("model.vocab")
     if shim is None:
         shim = types.ModuleType("model.vocab")
         sys.modules["model.vocab"] = shim
+        cleanup.append(lambda: sys.modules.pop("model.vocab", None))
+        had_attr = hasattr(pkg, "vocab")
+        old_attr = getattr(pkg, "vocab", None)
         pkg.vocab = shim
-        added.append("model.vocab")
+        if had_attr:
+            cleanup.append(lambda: setattr(pkg, "vocab", old_attr))
+        else:
+            cleanup.append(
+                lambda: pkg.__dict__.pop("vocab", None))
     cls = getattr(shim, "Vocab", None)
     if cls is None:
         cls = type("Vocab", (Vocab,), {})
@@ -454,9 +462,9 @@ def export_checkpoint(our_path, torch_path):
         return collections.OrderedDict(
             (k, torch.from_numpy(np.array(v))) for k, v in sd.items())
 
-    added = []
+    cleanup = []
     try:
-        vocab_cls = _shim_reference_vocab_module(added)
+        vocab_cls = _shim_reference_vocab_module(cleanup)
         blob = {
             "args": _reference_args(args),
             "epoch": int(ckpt["epoch"]),
@@ -469,8 +477,8 @@ def export_checkpoint(our_path, torch_path):
         }
         torch.save(blob, torch_path)
     finally:
-        for name in added:
-            sys.modules.pop(name, None)
+        for undo in reversed(cleanup):
+            undo()
     logging.info("exported %s -> %s (model=%s epoch=%d)", our_path,
                  torch_path, args.model, blob["epoch"])
     return torch_path

@@ -114,7 +114,8 @@ def _pallas_gru_forward(wi, bi, wh, bh, x, h0, reverse):
 
     tb = _batch_tile(b_pad, t_steps, g, h_pad)
     grid = (b_pad // tb,)
-    interpret = jax.default_backend() != "tpu"
+    from .recurrent import is_tpu_backend
+    interpret = not is_tpu_backend()
 
     out, h_t = pl.pallas_call(
         _gru_seq_kernel,
@@ -265,7 +266,8 @@ def _bigru_forward(params_fwd, params_bwd, x, h0_fwd, h0_bwd):
     h0 = jnp.stack([prep_h0(h0_fwd), prep_h0(h0_bwd)])
 
     tb = _batch_tile(b_pad, t_steps, g, h_pad)
-    interpret = jax.default_backend() != "tpu"
+    from .recurrent import is_tpu_backend
+    interpret = not is_tpu_backend()
 
     out, h_t = pl.pallas_call(
         _bigru_kernel,

@@ -54,6 +54,19 @@ def set_gru_impl(name):
     _GRU_IMPL = name
 
 
+def is_tpu_backend():
+    """THE TPU-detection predicate: shared by the pallas kernel's
+    interpret-mode fallback (ops/pallas_gru.py) and the synthesis
+    engine's kernel auto-selection so the two can never disagree (a
+    backend judged TPU here compiles Mosaic, anything else interprets).
+    The tunneled dev platform also reports 'tpu' (measured)."""
+    import jax
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def set_scan_unroll(n):
     global _SCAN_UNROLL
     _SCAN_UNROLL = max(1, int(n))

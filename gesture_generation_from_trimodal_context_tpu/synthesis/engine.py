@@ -67,13 +67,6 @@ def _make_window_fn(bundle, args):
 WORD_CAP = 64  # fixed word capacity per window (single compile)
 
 
-def _tpu_backend():
-    """True when the default JAX backend is a TPU (incl. the tunneled
-    'axon' dev platform); used by the use_pallas=None auto policy."""
-    try:
-        return jax.devices()[0].platform.lower() in ("tpu", "axon")
-    except Exception:
-        return False
 
 
 def generate_gestures(args, bundle, gen_vars, lang_model, audio, words,
@@ -88,17 +81,25 @@ def generate_gestures(args, bundle, gen_vars, lang_model, audio, words,
         random.randrange(2 ** 31))
 
     use_spectrogram = bundle.model_name == "speech2gesture"
-    from ..ops.recurrent import set_gru_impl
+    from ..ops.recurrent import is_tpu_backend, set_gru_impl
     # The checkpoint's args record the TRAINING-time --use_pallas; the
     # inference kernel choice is made here instead (numerics are
     # parity-pinned either way): GG_USE_PALLAS=0/1 overrides, else AUTO —
     # the fused on-core kernel wins the B=1 window forward on a TPU
-    # backend (measured 1.22x, RESULTS.md), scan elsewhere.
+    # backend (measured 1.22x, RESULTS.md), scan elsewhere (where pallas
+    # would only run interpreted).
     env = os.environ.get("GG_USE_PALLAS")
     if env is not None:
         use_pallas = env.lower() in ("1", "true", "yes")
     else:
-        use_pallas = _tpu_backend()
+        use_pallas = is_tpu_backend()
+    flag = getattr(args, "use_pallas", None)
+    if flag is not None and bool(flag) != use_pallas:
+        logging.info(
+            "args.use_pallas=%s is the training-time setting and does "
+            "not govern synthesis; chose %s (override with "
+            "GG_USE_PALLAS=0/1)", flag,
+            "pallas" if use_pallas else "scan")
     set_gru_impl("pallas" if use_pallas else "scan")
     logging.info("synthesis GRU impl: %s",
                  "pallas" if use_pallas else "scan")

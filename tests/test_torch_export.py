@@ -237,3 +237,39 @@ def test_export_checkpoint_file_roundtrip(ref_mods, tmp_path):
                                   n_words=lang.n_words, word_embed_size=16,
                                   word_embeddings=None, z_obj=spk)
     fresh.load_state_dict(blob["gen_dict"], strict=True)
+
+
+def test_shim_cleanup_restores_preexisting_model_package():
+    """_shim_reference_vocab_module must undo EVERYTHING it adds — in
+    particular the ``vocab`` attribute it sets on a pre-existing real
+    ``model`` package (sys.modules entries alone are not enough: stale
+    attributes would shadow the reference class for later attribute
+    access)."""
+    saved = {k: sys.modules.pop(k, None) for k in ("model", "model.vocab")}
+    try:
+        fake_pkg = types.ModuleType("model")
+        sys.modules["model"] = fake_pkg  # "real" package, vocab not imported
+        cleanup = []
+        cls = torch_export._shim_reference_vocab_module(cleanup)
+        assert sys.modules["model.vocab"].Vocab is cls
+        assert fake_pkg.vocab is sys.modules["model.vocab"]
+        for undo in reversed(cleanup):
+            undo()
+        assert "model.vocab" not in sys.modules
+        assert not hasattr(fake_pkg, "vocab")
+        assert sys.modules["model"] is fake_pkg  # pre-existing pkg kept
+
+        # fully-absent case: both entries are added AND removed
+        sys.modules.pop("model", None)
+        cleanup = []
+        torch_export._shim_reference_vocab_module(cleanup)
+        assert "model" in sys.modules and "model.vocab" in sys.modules
+        for undo in reversed(cleanup):
+            undo()
+        assert "model" not in sys.modules
+        assert "model.vocab" not in sys.modules
+    finally:
+        for k in ("model", "model.vocab"):
+            sys.modules.pop(k, None)
+            if saved[k] is not None:
+                sys.modules[k] = saved[k]
