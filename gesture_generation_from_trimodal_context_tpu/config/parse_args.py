@@ -170,6 +170,11 @@ def _tpu_options():
     # reference defines but cannot construct as written, rebuilt working
     # — models/multimodal_context.GRUDiscriminator)
     add(_Opt("discriminator_type", str, "conv"))
+    # run the validation/FGD pass every N epochs instead of every epoch
+    # (default 1 = reference behavior; the final epoch always evaluates).
+    # The TED-scale eval pass costs ~10 s/epoch — ~20% of the 100-epoch
+    # recipe's wall time (RESULTS.md)
+    add(_Opt("eval_interval", int, 1))
     add(_Opt("deterministic_tb_dir", str2bool, False))  # stable tensorboard dir name (tests)
     return o
 

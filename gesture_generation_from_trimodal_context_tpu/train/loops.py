@@ -145,6 +145,7 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
     print_interval = max(1, int(len(train_loader) / 5))
     save_sample_interval = 10
     save_model_interval = 20
+    eval_interval = max(1, int(getattr(args, "eval_interval", 1) or 1))
 
     speaker_model = factory.resolve_speaker_model(args, speaker_model)
 
@@ -426,23 +427,35 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
                 }, "{}/{}_checkpoint_last.bin".format(
                     args.model_save_path, args.name))
 
-            val_metrics = evaluate_testset(
-                test_loader, current_gen_vars(), eval_step, bundle, args,
-                embed_space_evaluator, speaker_model, mesh, rs, root_rng)
+            # --eval_interval N (default 1 = the reference's every-epoch
+            # eval): the TED-scale eval pass costs ~10 s/epoch (~20% of
+            # the 100-epoch recipe's wall time); the final epoch always
+            # evaluates so long runs end with a scored model
+            is_best = False
+            if epoch % eval_interval == 0 or epoch == n_epochs - 1:
+                val_metrics = evaluate_testset(
+                    test_loader, current_gen_vars(), eval_step, bundle,
+                    args, embed_space_evaluator, speaker_model, mesh, rs,
+                    root_rng)
 
-            for key, value in val_metrics.items():
-                tb_writer.add_scalar(key + "/validation", value, global_iter)
-                if key not in best_values or value < best_values[key][0]:
-                    best_values[key] = (value, epoch)
+                for key, value in val_metrics.items():
+                    tb_writer.add_scalar(key + "/validation", value,
+                                         global_iter)
+                    if key not in best_values or value < best_values[key][0]:
+                        best_values[key] = (value, epoch)
 
-            val_loss = val_metrics.get("frechet", val_metrics["loss"])
-            is_best = val_loss < best_val_loss[0]
-            if is_best:
-                logging.info("  *** BEST VALIDATION LOSS: %.3f", val_loss)
-                best_val_loss = (val_loss, epoch)
+                val_loss = val_metrics.get("frechet", val_metrics["loss"])
+                is_best = val_loss < best_val_loss[0]
+                if is_best:
+                    logging.info("  *** BEST VALIDATION LOSS: %.3f", val_loss)
+                    best_val_loss = (val_loss, epoch)
+                else:
+                    logging.info("  best validation loss so far: %.3f at "
+                                 "EPOCH %d", best_val_loss[0],
+                                 best_val_loss[1])
             else:
-                logging.info("  best validation loss so far: %.3f at EPOCH %d",
-                             best_val_loss[0], best_val_loss[1])
+                logging.info("  (skipping eval at epoch %d, "
+                             "--eval_interval %d)", epoch, eval_interval)
 
             # ---- checkpoint (reference train.py:136-157) ----
             if is_best or (epoch % save_model_interval == 0 and epoch > 0):

@@ -162,6 +162,27 @@ def test_train_cli_gru_text_discriminator(tmp_path):
             "multimodal_context_checkpoint_best.bin").exists()
 
 
+def test_train_cli_eval_interval(tmp_path):
+    """--eval_interval N: the val/FGD pass runs every N epochs (plus the
+    final epoch), skipped epochs log and still train/checkpoint."""
+    base = tmp_path / "data" / "ted_dataset"
+    for split in ("lmdb_train", "lmdb_val", "lmdb_test"):
+        synthetic.make_synthetic_raw_store(str(base / split), n_videos=2,
+                                           clips_per_video=1,
+                                           clip_duration_s=8.0,
+                                           seed=hash(split) % 71)
+    args = _mmc_args(tmp_path, base, ["--eval_interval", "2",
+                                      "--epochs", "3"])
+    train_cli.main(args)
+    logs = list((tmp_path / "out").glob("*.log"))
+    assert logs, "train log file not written"
+    text = "\n".join(p.read_text() for p in logs)
+    assert "skipping eval at epoch 1" in text
+    assert "skipping eval at epoch 2" not in text  # final epoch evaluates
+    assert (tmp_path / "out" /
+            "multimodal_context_checkpoint_best.bin").exists()
+
+
 def _family_args(tmp_path, base, cfg_name, extra):
     return cfg.parse_args([
         "--config", _cfg(cfg_name),
