@@ -175,6 +175,14 @@ def _tpu_options():
     # The TED-scale eval pass costs ~10 s/epoch — ~20% of the 100-epoch
     # recipe's wall time (RESULTS.md)
     add(_Opt("eval_interval", int, 1))
+    # include the final partial validation batch in the val/FGD pass
+    # instead of dropping it (the reference's eval DataLoader uses
+    # drop_last=True, train.py:219-224, so up to batch_size-1 tail
+    # samples are excluded per epoch); default off = reference
+    # semantics.  Exact math: the tail runs at its natural (smaller)
+    # batch shape on a single-device mesh, or padded + masked on a
+    # multi-device one (train/loops.py evaluate_testset)
+    add(_Opt("eval_full_set", str2bool, False))
     add(_Opt("deterministic_tb_dir", str2bool, False))  # stable tensorboard dir name (tests)
     return o
 

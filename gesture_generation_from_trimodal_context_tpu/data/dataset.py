@@ -208,7 +208,8 @@ class BatchIterator:
     deterministic order regardless of worker count."""
 
     def __init__(self, dataset, batch_size, shuffle=True, seed=0,
-                 prefetch=2, make_batch=None, workers=1):
+                 prefetch=2, make_batch=None, workers=1,
+                 include_tail=False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -217,6 +218,9 @@ class BatchIterator:
         self.prefetch = prefetch
         self.workers = max(1, int(workers or 1))
         self.make_batch = make_batch or dataset.make_batch
+        # --eval_full_set: also yield the final partial batch (at its
+        # natural, smaller size) instead of dropping it
+        self.include_tail = include_tail
 
     def __len__(self):
         return len(self.dataset) // self.batch_size
@@ -236,6 +240,8 @@ class BatchIterator:
                     order[bi * self.batch_size:(bi + 1) * self.batch_size])
         else:
             yield from self._iter_single(order, n_batches)
+        if self.include_tail and len(order) > n_batches * self.batch_size:
+            yield self.make_batch(order[n_batches * self.batch_size:])
 
     def _iter_single(self, order, n_batches):
         q = queue.Queue(maxsize=self.prefetch)

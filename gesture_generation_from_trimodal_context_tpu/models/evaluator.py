@@ -27,11 +27,19 @@ class EmbeddingSpaceEvaluator:
         net = bundle.generator
 
         @jax.jit
-        def embed(variables, poses):
+        def embed(variables, poses, mask=None):
             out = net.apply(variables, None, None, None, poses, "pose",
                             train=False)
             feat, recon = out[3], out[6]
-            recon_err = jnp.mean(jnp.abs(poses - recon))
+            err = jnp.abs(poses - recon)
+            if mask is None:
+                recon_err = jnp.mean(err)
+            else:
+                # masked batch (--eval_full_set padded tail on a
+                # multi-device mesh): weight per-sample errors by mask
+                per = jnp.mean(err, axis=tuple(range(1, err.ndim)))
+                recon_err = jnp.sum(per * mask) / \
+                    jnp.maximum(jnp.sum(mask), 1.0)
             return feat, recon_err
 
         self._embed = embed
@@ -42,20 +50,26 @@ class EmbeddingSpaceEvaluator:
         self.real_feat_list = []
         self.generated_feat_list = []
         self.recon_err_diff = []
+        self.mask_list = []
 
     def get_no_of_samples(self):
         return len(self.real_feat_list)
 
     def push_samples(self, context_text, context_spec, generated_poses,
-                     real_poses):
+                     real_poses, mask=None):
         """Embed one batch.  Results stay ON DEVICE — no host sync here;
         the sync happens once per eval pass in _materialize() (the
-        reference syncs per batch, train.py:288-290)."""
-        real_feat, recon_real = self._embed(self.net_vars, real_poses)
-        gen_feat, recon_fake = self._embed(self.net_vars, generated_poses)
+        reference syncs per batch, train.py:288-290).  ``mask`` (host
+        float (B,), 1.0 = real row) marks --eval_full_set's padded tail
+        rows; they are dropped from the feature lists at materialize
+        time and weighted out of the recon error in-graph."""
+        real_feat, recon_real = self._embed(self.net_vars, real_poses, mask)
+        gen_feat, recon_fake = self._embed(self.net_vars, generated_poses,
+                                           mask)
         self.real_feat_list.append(real_feat)
         self.generated_feat_list.append(gen_feat)
         self.recon_err_diff.append((recon_fake, recon_real))
+        self.mask_list.append(mask)
 
     def _materialize(self):
         """One device->host transfer for everything accumulated
@@ -63,6 +77,16 @@ class EmbeddingSpaceEvaluator:
         self.real_feat_list, self.generated_feat_list, diffs = \
             jax.device_get((self.real_feat_list, self.generated_feat_list,
                             self.recon_err_diff))
+        if any(m is not None for m in self.mask_list):
+            keep = [None if m is None else np.asarray(m) > 0.5
+                    for m in self.mask_list]
+            self.real_feat_list = [
+                f if k is None else f[k]
+                for f, k in zip(self.real_feat_list, keep)]
+            self.generated_feat_list = [
+                f if k is None else f[k]
+                for f, k in zip(self.generated_feat_list, keep)]
+        self.mask_list = [None] * len(self.mask_list)
         self.recon_err_diff = [
             float(d[0]) - float(d[1]) if isinstance(d, tuple) else d
             for d in diffs]

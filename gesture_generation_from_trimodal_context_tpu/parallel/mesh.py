@@ -63,6 +63,13 @@ def replicate(tree, mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def data_parallel_size(mesh):
+    """Size of the mesh's 'data' axis (1 when mesh is None)."""
+    if mesh is None:
+        return 1
+    return int(dict(mesh.shape).get(DATA_AXIS, 1))
+
+
 def pad_batch_to(batch, target_batch):
     """Pad axis 0 up to target_batch (repeat last element); returns
     (padded_tree, original_size).  Used when the final eval batch does not

@@ -326,7 +326,8 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
         test_loader = resident.ResidentBatchIterator(
             resident_val, len(test_loader.dataset), args.batch_size,
             audio_len=test_loader.dataset.expected_audio_length,
-            mesh=mesh)
+            mesh=mesh,
+            include_tail=getattr(args, "eval_full_set", False))
 
         def _make_resident_fn():
             if model == "multimodal_context":
@@ -735,25 +736,44 @@ def evaluate_testset(test_loader, gen_vars, eval_step, bundle, args,
     # per-batch metrics stay on device; ONE host sync per eval pass at the
     # end (the train loop got this treatment in round 1, the eval loop
     # synced float(loss) every batch)
-    pending = []  # (batch_size, loss, mae, acc) with device scalars
+    dp = mesh_lib.data_parallel_size(mesh)
+    pending = []  # (n_valid, loss, mae, acc) with device scalars
     for i, batch in enumerate(test_loader):
+        # --eval_full_set tail handling: the final partial batch arrives
+        # either at its natural smaller size (host iterator / resident
+        # dp==1 — exact, jit respecializes once per remainder size) or
+        # pre-masked by the resident iterator (__mask__).  A smaller
+        # host batch that does not divide a >1-device data mesh is
+        # padded (repeat-last) and masked here.
+        mask = batch.pop("__mask__", None) if isinstance(batch, dict) \
+            else None
+        n_valid = int(mask.sum()) if mask is not None \
+            else batch["target_vec"].shape[0]
+        if mask is None and dp > 1 and batch["target_vec"].shape[0] % dp:
+            r_pad = -(-n_valid // dp) * dp
+            num = {k: v for k, v in batch.items()
+                   if isinstance(v, np.ndarray) and v.dtype != object
+                   and not k.startswith("aux_")}
+            batch, _ = mesh_lib.pad_batch_to(num, r_pad)
+            mask = (np.arange(r_pad) < n_valid).astype(np.float32)
         batch_size = batch["target_vec"].shape[0]
         vids = None
         if speaker_model and isinstance(speaker_model, Vocab):
             vids = _random_vids(speaker_model, batch_size, rs)
         dbatch = _device_batch(batch, mesh)
         dvids = mesh_lib.shard_batch(vids, mesh) if vids is not None else None
+        dmask = mesh_lib.shard_batch(mask, mesh) if mask is not None else None
         rng = jax.random.fold_in(root_rng, 777_000 + i)
 
-        loss, out, mae, acc = eval_step(gen_vars, dbatch, dvids, rng)
+        loss, out, mae, acc = eval_step(gen_vars, dbatch, dvids, rng, dmask)
         if bundle.model_name != "gesture_autoencoder" and \
                 embed_space_evaluator:
             # feature embedding also stays on device (evaluator syncs
             # once in get_scores)
             embed_space_evaluator.push_samples(
                 dbatch.get("in_text"), dbatch.get("in_audio"), out,
-                dbatch["target_vec"])
-        pending.append((batch_size, loss, mae, acc))
+                dbatch["target_vec"], mask=dmask)
+        pending.append((n_valid, loss, mae, acc))
 
     for batch_size, loss, mae, acc in jax.device_get(pending):
         losses.update(float(loss), batch_size)
@@ -772,14 +792,15 @@ def evaluate_testset(test_loader, gen_vars, eval_step, bundle, args,
         frechet_dist, feat_dist = embed_space_evaluator.get_scores()
         logging.info(
             "[VAL] loss: %.3f, joint mae: %.5f, accel diff: %.5f, "
-            "FGD: %.3f, feat_D: %.3f / %.1fs",
+            "FGD: %.3f, feat_D: %.3f (%d samples) / %.1fs",
             losses.avg, joint_mae.avg, accel.avg, frechet_dist, feat_dist,
-            elapsed)
+            losses.count, elapsed)
         ret["frechet"] = frechet_dist
         ret["feat_dist"] = feat_dist
     else:
-        logging.info("[VAL] loss: %.3f, joint mae: %.3f / %.1fs",
-                     losses.avg, joint_mae.avg, elapsed)
+        logging.info("[VAL] loss: %.3f, joint mae: %.3f (%d samples) "
+                     "/ %.1fs", losses.avg, joint_mae.avg, losses.count,
+                     elapsed)
     return ret
 
 

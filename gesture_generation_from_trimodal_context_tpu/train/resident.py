@@ -99,9 +99,8 @@ def estimate_bytes(dataset):
 
 def mesh_dp(mesh):
     """Size of the 'data' axis of a mesh (1 when mesh is None)."""
-    if mesh is None:
-        return 1
-    return int(dict(mesh.shape).get(DATA_AXIS, 1))
+    from ..parallel.mesh import data_parallel_size
+    return data_parallel_size(mesh)
 
 
 def _round_robin_order(n, dp):
@@ -300,10 +299,11 @@ class ResidentBatchIterator:
     """
 
     def __init__(self, data, n_samples, batch_size, audio_len=None,
-                 mesh=None):
+                 mesh=None, include_tail=False):
         self.data = data
         self.n_samples = n_samples
         self.batch_size = batch_size
+        self.include_tail = include_tail
         self.dp = mesh_dp(mesh)
         if self.dp > 1:
             if batch_size % self.dp:
@@ -333,3 +333,42 @@ class ResidentBatchIterator:
             else:
                 idx = np.arange(bi * bs, (bi + 1) * bs, dtype=np.int32)
             yield self._gather(self.data, idx)
+        if self.include_tail:
+            tail = self._tail_batch()
+            if tail is not None:
+                yield tail
+
+    def _tail_batch(self):
+        """--eval_full_set: the final partial batch.
+
+        dp == 1: gathered at its natural (smaller) size — exact, no
+        padding.  dp > 1: each device gathers its ceil(r/dp) tail rows
+        (local indices under the round-robin layout, padded by repeating
+        the device's last real row so every shard is equal length); a
+        host-built ``__mask__`` flags which rows are real samples, and
+        evaluate_testset computes masked metrics.  Row ORDER is
+        device-block permuted — eval metrics and FGD accumulation are
+        order-invariant."""
+        t0 = len(self) * self.batch_size
+        r = self.n_samples - t0
+        if r <= 0:
+            return None
+        if self.dp == 1:
+            idx = np.arange(t0, self.n_samples, dtype=np.int32)
+            return self._gather(self.data, idx)
+        r_local = -(-r // self.dp)
+        idx = np.empty((self.dp, r_local), np.int32)
+        mask = np.zeros((self.dp, r_local), np.float32)
+        for d in range(self.dp):
+            # dataset rows i in [t0, n) with i % dp == d live on device d
+            # at local index i // dp
+            rows = np.arange(t0 + (d - t0) % self.dp, self.n_samples,
+                             self.dp, dtype=np.int32)
+            locs = rows // self.dp
+            k = len(locs)
+            idx[d, :k] = locs
+            idx[d, k:] = locs[-1] if k else 0
+            mask[d, :k] = 1.0
+        batch = dict(self._gather(self.data, idx.reshape(-1)))
+        batch["__mask__"] = mask.reshape(-1)
+        return batch

@@ -69,6 +69,14 @@ def main(mode, checkpoint_path, option, data_base="data/ted_dataset",
             lang_model = pickle.load(f)
 
     if mode == "eval":
+        # full-set eval (include the final partial val batch) follows the
+        # checkpoint's --eval_full_set; GG_EVAL_FULL_SET=0/1 overrides
+        # (checkpoints trained elsewhere — e.g. torch imports — predate
+        # the flag)
+        env_full = os.environ.get("GG_EVAL_FULL_SET")
+        if env_full is not None:
+            args.eval_full_set = env_full.strip().lower() not in (
+                "0", "false", "")
         val_data_path = os.path.join(data_base, "lmdb_val")
         embed_space_evaluator = None
         if args.eval_net_path and os.path.exists(args.eval_net_path):
@@ -85,7 +93,9 @@ def main(mode, checkpoint_path, option, data_base="data/ted_dataset",
         if option == "host":
             # reference-style host pipeline (per-batch host->device
             # transfer, reference synthesize.py:263-272)
-            loader = BatchIterator(val_dataset, 32, shuffle=False)
+            loader = BatchIterator(
+                val_dataset, 32, shuffle=False,
+                include_tail=getattr(args, "eval_full_set", False))
         else:
             # device-resident eval (default; TPU-native): upload the val
             # set once, gather eval batches in-graph — identical batch
@@ -99,7 +109,8 @@ def main(mode, checkpoint_path, option, data_base="data/ted_dataset",
                 label="val", mesh=mesh, fields=fields)
             loader = resident.ResidentBatchIterator(
                 res_val, len(val_dataset), 32,
-                audio_len=val_dataset.expected_audio_length, mesh=mesh)
+                audio_len=val_dataset.expected_audio_length, mesh=mesh,
+                include_tail=getattr(args, "eval_full_set", False))
         eval_step = make_eval_step(bundle, args, mean_dir_vec)
         with mesh:
             evaluate_testset(loader, gen_vars, eval_step, bundle, args,

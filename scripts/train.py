@@ -94,7 +94,8 @@ def main(args):
     test_loader = BatchIterator(
         val_dataset, args.batch_size, shuffle=False,
         prefetch=args.prefetch_batches,
-        make_batch=lambda idx: val_dataset.make_batch(idx, fields))
+        make_batch=lambda idx: val_dataset.make_batch(idx, fields),
+        include_tail=getattr(args, "eval_full_set", False))
 
     vocab_cache_path = os.path.join(
         os.path.split(args.train_data_path[0])[0], "vocab_cache.pkl")

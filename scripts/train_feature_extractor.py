@@ -31,7 +31,8 @@ POSE_DIM = 27
 H36M_PATH = "data/h36m/data_3d_h36m.npz"
 
 
-def evaluate_testset(dataset, eval_step, gen_vars, batch_size):
+def evaluate_testset(dataset, eval_step, gen_vars, batch_size,
+                     full_set=False):
     losses = AverageMeter("loss")
     start = time.time()
     n_batches = len(dataset) // batch_size
@@ -46,17 +47,23 @@ def evaluate_testset(dataset, eval_step, gen_vars, batch_size):
         n_batches = 1
         logging.warning("val set (%d) smaller than batch; evaluating one "
                         "short batch", batch_size)
+    spans = [(bi * batch_size, (bi + 1) * batch_size)
+             for bi in range(n_batches)]
+    if full_set and n_batches * batch_size < len(dataset):
+        # --eval_full_set: the tail runs at its natural smaller size
+        # (one extra jit specialization, constant across epochs)
+        spans.append((n_batches * batch_size, len(dataset)))
     pending = []  # device scalars; ONE host sync for the whole pass
-    for bi in range(n_batches):
-        batch = dataset.make_batch(
-            np.arange(bi * batch_size, (bi + 1) * batch_size))
+    for bi, (lo, hi) in enumerate(spans):
+        batch = dataset.make_batch(np.arange(lo, hi))
         loss, _ = eval_step(gen_vars["params"], gen_vars["batch_stats"],
                             {"target_vec": batch["target_vec"]},
                             jax.random.PRNGKey(bi))
-        pending.append(loss)
-    for loss in jax.device_get(pending):
-        losses.update(float(loss), batch_size)
-    logging.info("[VAL] loss: %.3f / %.1fs", losses.avg, time.time() - start)
+        pending.append((hi - lo, loss))
+    for n, loss in jax.device_get(pending):
+        losses.update(float(loss), n)
+    logging.info("[VAL] loss: %.3f (%d samples) / %.1fs", losses.avg,
+                 losses.count, time.time() - start)
     return {"loss": losses.avg}
 
 
@@ -110,8 +117,9 @@ def main(args, h36m_path=None, trial_epochs=None):
     global_iter = 0
     for epoch in range(n_epochs):
         gen_vars = {"params": state.params, "batch_stats": state.batch_stats}
-        val_metrics = evaluate_testset(val_dataset, eval_step, gen_vars,
-                                       batch_size)
+        val_metrics = evaluate_testset(
+            val_dataset, eval_step, gen_vars, batch_size,
+            full_set=getattr(args, "eval_full_set", False))
         val_loss = val_metrics["loss"]
         is_best = val_loss < best_val_loss[0]
         if is_best:

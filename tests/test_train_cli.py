@@ -162,6 +162,32 @@ def test_train_cli_gru_text_discriminator(tmp_path):
             "multimodal_context_checkpoint_best.bin").exists()
 
 
+@pytest.mark.parametrize("resident", ["false", "true"])
+def test_train_cli_eval_full_set(tmp_path, resident):
+    """--eval_full_set: the val pass covers ALL samples (the 9s-clip
+    synthetic val set has 20, batch 8 -> the reference-faithful default
+    evaluates 16 and drops the 4-sample tail).  Exercised on the
+    8-virtual-device mesh through BOTH input paths: host iterator
+    (padded+masked tail) and device-resident gathers (__mask__ from the
+    round-robin shards; 4 < 8 devices also covers empty-tail shards)."""
+    base = tmp_path / "data" / "ted_dataset"
+    for split in ("lmdb_train", "lmdb_val", "lmdb_test"):
+        synthetic.make_synthetic_raw_store(
+            str(base / split), n_videos=2, clips_per_video=1,
+            clip_duration_s=9.0 if split == "lmdb_val" else 8.0,
+            seed=hash(split) % 67)
+    args = _mmc_args(tmp_path, base, [
+        "--eval_full_set", "true",
+        "--device_resident_data", resident])
+    train_cli.main(args)
+    logs = list((tmp_path / "out").glob("*.log"))
+    assert logs, "train log file not written"
+    text = "\n".join(p.read_text() for p in logs)
+    assert "(20 samples)" in text, text[-2000:]
+    assert (tmp_path / "out" /
+            "multimodal_context_checkpoint_best.bin").exists()
+
+
 def test_train_cli_eval_interval(tmp_path):
     """--eval_interval N: the val/FGD pass runs every N epochs (plus the
     final epoch), skipped epochs log and still train/checkpoint."""
