@@ -183,6 +183,13 @@ def _tpu_options():
     # batch shape on a single-device mesh, or padded + masked on a
     # multi-device one (train/loops.py evaluate_testset)
     add(_Opt("eval_full_set", str2bool, False))
+    # resident-data mode, single-device data mesh: run the WHOLE
+    # validation pass (in-HBM gathers + eval forwards + FGD embedding)
+    # as one jitted lax.scan — one device dispatch per epoch instead of
+    # ~3 per batch over the device tunnel.  Same math, same rng stream
+    # as the per-batch path (train/eval_steps.make_fused_eval_pass);
+    # default on, disable to fall back to per-batch eval
+    add(_Opt("fused_eval_pass", str2bool, True))
     add(_Opt("deterministic_tb_dir", str2bool, False))  # stable tensorboard dir name (tests)
     return o
 

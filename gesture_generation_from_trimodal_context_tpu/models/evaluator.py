@@ -71,6 +71,20 @@ class EmbeddingSpaceEvaluator:
         self.recon_err_diff.append((recon_fake, recon_real))
         self.mask_list.append(mask)
 
+    def push_feature_stack(self, gen_feats, real_feats, recon_fake,
+                           recon_real, mask=None):
+        """Accumulate a whole fused eval pass at once
+        (train/eval_steps.make_fused_eval_pass): (K, B, F) feature
+        stacks, (K,) per-batch masked recon errors, optional (K, B)
+        mask.  Stays on device until _materialize."""
+        feat_dim = gen_feats.shape[-1]
+        self.generated_feat_list.append(gen_feats.reshape(-1, feat_dim))
+        self.real_feat_list.append(real_feats.reshape(-1, feat_dim))
+        self.mask_list.append(None if mask is None
+                              else np.asarray(mask).reshape(-1))
+        self.recon_err_diff.append((jnp.mean(recon_fake),
+                                    jnp.mean(recon_real)))
+
     def _materialize(self):
         """One device->host transfer for everything accumulated
         (idempotent)."""

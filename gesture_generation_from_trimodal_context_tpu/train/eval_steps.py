@@ -6,6 +6,16 @@ over generated frames, acceleration difference (2nd discrete diff).  The
 reference computes MAE/accel on host numpy after a device->host copy
 (train.py:292-310); here they are fused into the same XLA program as the
 forward — no host sync in the loop.
+
+Two execution shapes:
+- make_eval_step: one jitted call per batch (host input pipeline, or
+  the resident iterator on a multi-device mesh);
+- make_fused_eval_pass: the ENTIRE validation pass — in-HBM microbatch
+  gathers, eval forwards, metrics, AND the FGD feature embedding — as
+  one jitted lax.scan.  The per-batch path costs ~3 dispatches/batch
+  over the remote-device tunnel (~100 ms each, measured round 2); the
+  fused pass costs one dispatch per EPOCH.  Same math, same rng stream
+  (fold_in(root_rng, 777000+k)), same batch composition.
 """
 
 import jax
@@ -15,16 +25,17 @@ from ..ops import skeleton
 from .common import build_pre_seq, decode_audio, split_rngs
 
 
-def make_eval_step(bundle, args, mean_dir_vec):
-    """Returns jit fn(gen_vars, batch, vids, rng, mask=None) ->
+def make_eval_body(bundle, args, mean_dir_vec):
+    """Non-jitted per-batch eval math:
+    fn(gen_vars, batch, vids, rng, mask=None) ->
     (loss, out_dir_vec, joint_mae, accel_diff).
 
     ``mask`` (float (B,), 1.0 = real sample) supports --eval_full_set's
-    padded final batch on a multi-device mesh: every reduction becomes a
-    per-sample mean followed by a mask-weighted batch mean — identical
-    math to the unmasked path on the real rows (all samples have the
-    same per-sample element count).  mask=None (the default) keeps the
-    original reduction expressions bit-for-bit."""
+    padded final batch: every reduction becomes a per-sample mean
+    followed by a mask-weighted batch mean — identical math to the
+    unmasked path on the real rows (all samples have the same
+    per-sample element count).  mask=None keeps the original reduction
+    expressions bit-for-bit."""
     gen = bundle.generator
     n_pre = args.n_pre_poses
     model = bundle.model_name
@@ -47,8 +58,7 @@ def make_eval_step(bundle, args, mean_dir_vec):
                                - jnp.diff(out_p, n=2, axis=1)), mask)
         return mae, accel
 
-    @jax.jit
-    def step(gen_vars, batch, vids, rng, mask=None):
+    def body(gen_vars, batch, vids, rng, mask=None):
         if "in_audio" in batch:
             batch = dict(batch, in_audio=decode_audio(batch["in_audio"]))
         target = batch["target_vec"]
@@ -85,4 +95,71 @@ def make_eval_step(bundle, args, mean_dir_vec):
         mae, accel = metrics(out, target, mask)
         return loss, out, mae, accel
 
+    return body
+
+
+def make_eval_step(bundle, args, mean_dir_vec):
+    """Returns jit fn(gen_vars, batch, vids, rng, mask=None) ->
+    (loss, out_dir_vec, joint_mae, accel_diff).  See make_eval_body."""
+    body = make_eval_body(bundle, args, mean_dir_vec)
+
+    @jax.jit
+    def step(gen_vars, batch, vids, rng, mask=None):
+        return body(gen_vars, batch, vids, rng, mask)
+
     return step
+
+
+def make_fused_eval_pass(bundle, args, mean_dir_vec, audio_len=None,
+                         use_vids=False, embed_apply=None):
+    """The whole resident-data validation pass as ONE jitted program.
+
+    fn(gen_vars, embed_vars, data, idx_stack, vids_stack, mask_stack,
+       root_rng) -> dict of stacked per-batch device arrays:
+        loss/mae/accel (K,) mask-weighted batch means,
+        count (K,) valid samples per batch,
+        and when embed_apply is given (the FGD embedding net — signature
+        (variables, poses, mask) -> (feat, masked_recon_err), see
+        models/evaluator.EmbeddingSpaceEvaluator._embed):
+        gen_feat/real_feat (K, B, F), recon_fake/recon_real (K,).
+
+    idx_stack (K, B) i32 resident row indices per microbatch;
+    vids_stack (K, B) i32 (ignored unless use_vids);
+    mask_stack (K, B) f32, 1.0 = real sample — all-ones rows reproduce
+    the per-batch path's unmasked means, a partially-zero final row is
+    --eval_full_set's padded tail.  The per-batch rng matches the
+    per-batch path exactly: fold_in(root_rng, 777000 + k).
+
+    Replaces the reference's per-batch host loop
+    (reference train.py:234-329) with an in-HBM gather + scan; single
+    host dispatch per validation pass."""
+    from . import resident
+
+    body = make_eval_body(bundle, args, mean_dir_vec)
+
+    @jax.jit
+    def eval_pass(gen_vars, embed_vars, data, idx_stack, vids_stack,
+                  mask_stack, root_rng):
+        def scan_body(_, xs):
+            idx, vids, mask, k = xs
+            batch = resident.gather_batch(data, idx, audio_len)
+            rng = jax.random.fold_in(root_rng, 777_000 + k)
+            loss, out, mae, accel = body(
+                batch=batch, gen_vars=gen_vars,
+                vids=vids if use_vids else None, rng=rng, mask=mask)
+            ys = {"loss": loss, "mae": mae, "accel": accel,
+                  "count": jnp.sum(mask)}
+            if embed_apply is not None:
+                gen_feat, recon_f = embed_apply(embed_vars, out, mask)
+                real_feat, recon_r = embed_apply(
+                    embed_vars, batch["target_vec"], mask)
+                ys.update(gen_feat=gen_feat, real_feat=real_feat,
+                          recon_fake=recon_f, recon_real=recon_r)
+            return None, ys
+
+        ks = jnp.arange(idx_stack.shape[0])
+        _, ys = jax.lax.scan(scan_body, None,
+                             (idx_stack, vids_stack, mask_stack, ks))
+        return ys
+
+    return eval_pass

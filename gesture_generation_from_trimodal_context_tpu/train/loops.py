@@ -33,7 +33,7 @@ from ..utils.logging_utils import time_since
 from ..utils.tb import MetricWriter
 from . import checkpoint as ckpt_lib
 from .embed import make_embed_train_step
-from .eval_steps import make_eval_step
+from .eval_steps import make_eval_step, make_fused_eval_pass
 from .gan import make_gan_train_step
 from .s2g import make_s2g_train_step
 from .seq2seq_step import make_seq2seq_train_step
@@ -299,6 +299,7 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
     # ---- device-resident dataset mode (train/resident.py): the whole
     # train + val sets live in HBM; steps gather microbatches in-graph ----
     resident_train = None
+    fused_eval = None  # set in resident mode (make_fused_eval_pass)
     video_loader = test_loader  # sample videos keep the host loader
     if getattr(args, "device_resident_data", False):
         if use_shard_map or tp_devices > 1:
@@ -323,11 +324,28 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
         resident_val, _ = resident.build_resident_data(
             test_loader.dataset, speaker_model, include_vids=False,
             label="val", mesh=mesh, fields=res_fields)
+        n_val_resident = len(test_loader.dataset)
+        val_audio_len = test_loader.dataset.expected_audio_length
         test_loader = resident.ResidentBatchIterator(
-            resident_val, len(test_loader.dataset), args.batch_size,
-            audio_len=test_loader.dataset.expected_audio_length,
-            mesh=mesh,
+            resident_val, n_val_resident, args.batch_size,
+            audio_len=val_audio_len, mesh=mesh,
             include_tail=getattr(args, "eval_full_set", False))
+
+        # --fused_eval_pass (default on, single-device data mesh): the
+        # whole val pass — gathers, eval forwards, FGD embedding — runs
+        # as ONE jitted scan instead of ~3 dispatches per batch over the
+        # device tunnel (train/eval_steps.make_fused_eval_pass)
+        if res_dp == 1 and getattr(args, "fused_eval_pass", True):
+            fused_embed_apply = fused_embed_vars = None
+            if embed_space_evaluator and model != "gesture_autoencoder":
+                fused_embed_apply = embed_space_evaluator._embed
+                fused_embed_vars = embed_space_evaluator.net_vars
+            fused_eval = make_fused_eval_pass(
+                bundle, args, np.array(args.mean_dir_vec).squeeze(),
+                audio_len=val_audio_len,
+                use_vids=(model == "multimodal_context"
+                          and isinstance(speaker_model, Vocab)),
+                embed_apply=fused_embed_apply)
 
         def _make_resident_fn():
             if model == "multimodal_context":
@@ -434,10 +452,17 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
             # evaluates so long runs end with a scored model
             is_best = False
             if epoch % eval_interval == 0 or epoch == n_epochs - 1:
-                val_metrics = evaluate_testset(
-                    test_loader, current_gen_vars(), eval_step, bundle,
-                    args, embed_space_evaluator, speaker_model, mesh, rs,
-                    root_rng)
+                if fused_eval is not None:
+                    val_metrics = evaluate_testset_resident_fused(
+                        fused_eval, resident_val, n_val_resident,
+                        fused_embed_vars, args, bundle,
+                        current_gen_vars(), embed_space_evaluator,
+                        speaker_model, rs, root_rng)
+                else:
+                    val_metrics = evaluate_testset(
+                        test_loader, current_gen_vars(), eval_step,
+                        bundle, args, embed_space_evaluator,
+                        speaker_model, mesh, rs, root_rng)
 
                 for key, value in val_metrics.items():
                     tb_writer.add_scalar(key + "/validation", value,
@@ -781,6 +806,12 @@ def evaluate_testset(test_loader, gen_vars, eval_step, bundle, args,
             joint_mae.update(float(mae), batch_size)
             accel.update(float(acc), batch_size)
 
+    return _finish_eval(losses, joint_mae, accel, embed_space_evaluator,
+                        start)
+
+
+def _finish_eval(losses, joint_mae, accel, embed_space_evaluator, start):
+    """Shared validation-pass epilogue (metrics dict + [VAL] log line)."""
     if losses.count == 0:
         # val set smaller than one batch (drop-last iterator yields
         # nothing): don't report 0.0 or crown an untrained net "best"
@@ -802,6 +833,69 @@ def evaluate_testset(test_loader, gen_vars, eval_step, bundle, args,
                      "/ %.1fs", losses.avg, joint_mae.avg, losses.count,
                      elapsed)
     return ret
+
+
+def evaluate_testset_resident_fused(fused_pass, resident_val, n_val,
+                                    embed_vars, args, bundle, gen_vars,
+                                    embed_space_evaluator, speaker_model,
+                                    rs, root_rng, batch_size=None):
+    """The resident-data validation pass in ONE device dispatch
+    (train/eval_steps.make_fused_eval_pass; single-device data mesh).
+
+    Identical numbers to evaluate_testset over a ResidentBatchIterator:
+    same batch composition (sequential row ranges, drop-last unless
+    --eval_full_set appends the masked tail), same per-batch rng stream
+    (fold_in(root_rng, 777000+k)), same host speaker draws.  What
+    changes is dispatch count: the per-batch path costs ~3 tunnel
+    round-trips per batch; this costs one per epoch."""
+    if embed_space_evaluator:
+        embed_space_evaluator.reset()
+    losses = AverageMeter("loss")
+    joint_mae = AverageMeter("mae_on_joint")
+    accel = AverageMeter("accel")
+    start = time.time()
+
+    bs = batch_size or args.batch_size
+    n_full = n_val // bs
+    idx_rows = [np.arange(bi * bs, (bi + 1) * bs, dtype=np.int32)
+                for bi in range(n_full)]
+    mask_rows = [np.ones(bs, np.float32)] * n_full
+    r = n_val - n_full * bs
+    if getattr(args, "eval_full_set", False) and r > 0:
+        tail = np.arange(n_full * bs, n_val, dtype=np.int32)
+        idx_rows.append(np.concatenate(
+            [tail, np.full(bs - r, tail[-1], np.int32)]))
+        mask_rows.append(np.concatenate(
+            [np.ones(r, np.float32), np.zeros(bs - r, np.float32)]))
+    if not idx_rows:
+        logging.warning("val pass saw no full batches; reporting inf loss")
+        return {"loss": float("inf"), "joint_mae": float("inf")}
+    idx_stack = np.stack(idx_rows)
+    mask_stack = np.stack(mask_rows)
+    n_batches = idx_stack.shape[0]
+    if speaker_model and isinstance(speaker_model, Vocab):
+        # one rs draw per batch, like the per-batch path
+        vids_stack = np.stack([_random_vids(speaker_model, bs, rs)
+                               for _ in range(n_batches)])
+    else:
+        vids_stack = np.zeros((n_batches, bs), np.int32)
+
+    ys = fused_pass(gen_vars, embed_vars, resident_val, idx_stack,
+                    vids_stack, mask_stack, root_rng)
+    if embed_space_evaluator and "gen_feat" in ys:
+        embed_space_evaluator.push_feature_stack(
+            ys["gen_feat"], ys["real_feat"], ys["recon_fake"],
+            ys["recon_real"], mask=mask_stack)
+    loss_k, mae_k, acc_k, cnt_k = jax.device_get(
+        (ys["loss"], ys["mae"], ys["accel"], ys["count"]))
+    for i in range(n_batches):
+        n = int(cnt_k[i])
+        losses.update(float(loss_k[i]), n)
+        if bundle.model_name != "gesture_autoencoder":
+            joint_mae.update(float(mae_k[i]), n)
+            accel.update(float(acc_k[i]), n)
+    return _finish_eval(losses, joint_mae, accel, embed_space_evaluator,
+                        start)
 
 
 def evaluate_sample_and_save_video(epoch, prefix, test_loader, gen_vars,

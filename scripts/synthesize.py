@@ -111,12 +111,40 @@ def main(mode, checkpoint_path, option, data_base="data/ted_dataset",
                 res_val, len(val_dataset), 32,
                 audio_len=val_dataset.expected_audio_length, mesh=mesh,
                 include_tail=getattr(args, "eval_full_set", False))
-        eval_step = make_eval_step(bundle, args, mean_dir_vec)
-        with mesh:
-            evaluate_testset(loader, gen_vars, eval_step, bundle, args,
-                             embed_space_evaluator, speaker_model, mesh,
-                             np.random.RandomState(0),
-                             jax.random.PRNGKey(0))
+        if option != "host" and getattr(args, "fused_eval_pass", True):
+            # one-dispatch fused val pass (gathers + forwards + FGD
+            # embedding in a single jitted scan, train/eval_steps.py)
+            from gesture_generation_from_trimodal_context_tpu.train.loops \
+                import evaluate_testset_resident_fused
+            from gesture_generation_from_trimodal_context_tpu.train.eval_steps \
+                import make_fused_eval_pass
+            from gesture_generation_from_trimodal_context_tpu.data.vocab \
+                import Vocab as _Vocab
+            embed_apply = embed_vars = None
+            if embed_space_evaluator and \
+                    args.model != "gesture_autoencoder":
+                embed_apply = embed_space_evaluator._embed
+                embed_vars = embed_space_evaluator.net_vars
+            fused = make_fused_eval_pass(
+                bundle, args, mean_dir_vec,
+                audio_len=val_dataset.expected_audio_length,
+                use_vids=(args.model == "multimodal_context"
+                          and isinstance(speaker_model, _Vocab)),
+                embed_apply=embed_apply)
+            with mesh:
+                evaluate_testset_resident_fused(
+                    fused, res_val, len(val_dataset), embed_vars, args,
+                    bundle, gen_vars, embed_space_evaluator,
+                    speaker_model, np.random.RandomState(0),
+                    jax.random.PRNGKey(0), batch_size=32)
+        else:
+            eval_step = make_eval_step(bundle, args, mean_dir_vec)
+            with mesh:
+                evaluate_testset(loader, gen_vars, eval_step, bundle,
+                                 args, embed_space_evaluator,
+                                 speaker_model, mesh,
+                                 np.random.RandomState(0),
+                                 jax.random.PRNGKey(0))
 
     elif mode == "from_text":
         random.seed()

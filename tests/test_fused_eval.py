@@ -1,0 +1,169 @@
+"""--fused_eval_pass: the whole resident-data validation pass as ONE
+jitted scan (train/eval_steps.make_fused_eval_pass) must produce the
+SAME numbers as the per-batch path (evaluate_testset over a
+ResidentBatchIterator): same batch composition, same rng stream, same
+speaker draws — only the dispatch count changes."""
+
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gesture_generation_from_trimodal_context_tpu.models import factory
+from gesture_generation_from_trimodal_context_tpu.models.evaluator import (
+    EmbeddingSpaceEvaluator)
+from gesture_generation_from_trimodal_context_tpu.data.vocab import Vocab
+from gesture_generation_from_trimodal_context_tpu.parallel import (
+    mesh as mesh_lib)
+from gesture_generation_from_trimodal_context_tpu.train import resident
+from gesture_generation_from_trimodal_context_tpu.train.eval_steps import (
+    make_eval_step, make_fused_eval_pass)
+from gesture_generation_from_trimodal_context_tpu.train.loops import (
+    evaluate_testset, evaluate_testset_resident_fused)
+
+AUDIO_LEN = 36267
+
+
+def _vocab(n=30, name="words", defaults=True):
+    v = Vocab(name, insert_default_tokens=defaults)
+    for i in range(n - (4 if defaults else 1)):
+        v.index_word("w%d" % i)
+    return v
+
+
+def _tiny_mmc():
+    args = SimpleNamespace(
+        model="multimodal_context", n_poses=34, n_pre_poses=4,
+        motion_resampling_framerate=15, hidden_size=32, n_layers=2,
+        dropout_prob=0.3, input_context="both", z_type="speaker",
+        wordembed_dim=16, freeze_wordembed=False, learning_rate=5e-4,
+        discriminator_lr_weight=0.2, loss_regression_weight=500.0,
+        loss_gan_weight=5.0, loss_kld_weight=0.1, loss_reg_weight=0.05,
+        loss_warmup=10, GAN_noise_size=0, batch_size=4,
+        eval_full_set=True, mean_dir_vec=[0.0] * 27)
+    speakers = _vocab(6, "vid", defaults=False)
+    bundle = factory.init_model(args, _vocab(), speakers, 27)
+    gvars = factory.generator_init_variables(bundle, args,
+                                             jax.random.PRNGKey(0), 4)
+    return args, bundle, gvars, speakers
+
+
+def _resident_val(n=10):
+    rng = np.random.RandomState(1)
+    audio = (rng.randn(n, AUDIO_LEN) * 3000).astype(np.int16)
+    return {
+        "in_text": rng.randint(0, 30, (n, 34)).astype(np.int32),
+        "in_audio": jax.device_put(resident.pad_lanes(audio)),
+        "target_vec": jax.device_put(
+            (0.1 * rng.randn(n, 34, 27)).astype(np.float32)),
+    }
+
+
+def test_fused_eval_matches_per_batch():
+    """10 samples, batch 4, --eval_full_set: 2 full batches + 2-sample
+    tail.  Fused scan == per-batch resident iterator on every metric."""
+    args, bundle, gvars, speakers = _tiny_mmc()
+    data = {k: jax.device_put(v) for k, v in _resident_val().items()}
+    root_rng = jax.random.PRNGKey(5)
+
+    loader = resident.ResidentBatchIterator(
+        dict(data), 10, 4, audio_len=AUDIO_LEN, include_tail=True)
+    eval_step = make_eval_step(bundle, args, np.zeros(27, np.float32))
+    ref = evaluate_testset(loader, gvars, eval_step, bundle, args, None,
+                           speakers, mesh_lib.get_mesh(1),
+                           np.random.RandomState(7), root_rng)
+
+    fused = make_fused_eval_pass(bundle, args, np.zeros(27, np.float32),
+                                 audio_len=AUDIO_LEN, use_vids=True)
+    got = evaluate_testset_resident_fused(
+        fused, data, 10, None, args, bundle, gvars, None, speakers,
+        np.random.RandomState(7), root_rng)
+
+    assert got["loss"] == pytest.approx(ref["loss"], rel=1e-4)
+    assert got["joint_mae"] == pytest.approx(ref["joint_mae"], rel=1e-4)
+
+
+def test_fused_eval_drop_last_default():
+    """Without --eval_full_set the fused pass covers the same 8 samples
+    the drop-last iterator does."""
+    args, bundle, gvars, speakers = _tiny_mmc()
+    args.eval_full_set = False
+    data = _resident_val()
+    root_rng = jax.random.PRNGKey(5)
+
+    loader = resident.ResidentBatchIterator(dict(data), 10, 4,
+                                            audio_len=AUDIO_LEN)
+    eval_step = make_eval_step(bundle, args, np.zeros(27, np.float32))
+    ref = evaluate_testset(loader, gvars, eval_step, bundle, args, None,
+                           speakers, mesh_lib.get_mesh(1),
+                           np.random.RandomState(7), root_rng)
+
+    fused = make_fused_eval_pass(bundle, args, np.zeros(27, np.float32),
+                                 audio_len=AUDIO_LEN, use_vids=True)
+    got = evaluate_testset_resident_fused(
+        fused, data, 10, None, args, bundle, gvars, None, speakers,
+        np.random.RandomState(7), root_rng)
+
+    assert got["loss"] == pytest.approx(ref["loss"], rel=1e-4)
+    assert got["joint_mae"] == pytest.approx(ref["joint_mae"], rel=1e-4)
+
+
+def _stub_evaluator():
+    """EmbeddingSpaceEvaluator shell with a deterministic embed fn (no
+    checkpoint needed): feat = first 8 flattened dims, masked per-sample
+    recon error like the real _embed."""
+    @jax.jit
+    def embed(variables, poses, mask=None):
+        flat = poses.reshape(poses.shape[0], -1)
+        feat = flat[:, :8]
+        err = jnp.abs(flat) * 0.5
+        if mask is None:
+            recon = jnp.mean(err)
+        else:
+            per = jnp.mean(err, axis=1)
+            recon = jnp.sum(per * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        return feat, recon
+
+    ev = EmbeddingSpaceEvaluator.__new__(EmbeddingSpaceEvaluator)
+    ev._embed = embed
+    ev.net_vars = {}
+    ev.n_pre_poses = 4
+    ev.reset()
+    return ev
+
+
+def test_push_feature_stack_matches_push_samples():
+    """FGD scores from the fused path's stacked push == the per-batch
+    push_samples path, including a masked tail batch."""
+    rng = np.random.RandomState(3)
+    real = [0.1 * rng.randn(4, 34, 27).astype(np.float32)
+            for _ in range(3)]
+    fake = [r + 0.05 * rng.randn(*r.shape).astype(np.float32)
+            for r in real]
+    masks = [np.ones(4, np.float32), np.ones(4, np.float32),
+             np.array([1, 1, 0, 0], np.float32)]
+
+    ev1 = _stub_evaluator()
+    for f, r, m in zip(fake, real, masks):
+        ev1.push_samples(None, None, jnp.asarray(f), jnp.asarray(r),
+                         mask=jnp.asarray(m))
+    fgd1, feat1 = ev1.get_scores()
+
+    ev2 = _stub_evaluator()
+    gen_feats, real_feats, rf, rr = [], [], [], []
+    for f, r, m in zip(fake, real, masks):
+        gf, erf = ev2._embed({}, jnp.asarray(f), jnp.asarray(m))
+        rfeat, err = ev2._embed({}, jnp.asarray(r), jnp.asarray(m))
+        gen_feats.append(gf)
+        real_feats.append(rfeat)
+        rf.append(erf)
+        rr.append(err)
+    ev2.push_feature_stack(jnp.stack(gen_feats), jnp.stack(real_feats),
+                           jnp.stack(rf), jnp.stack(rr),
+                           mask=np.stack(masks))
+    fgd2, feat2 = ev2.get_scores()
+
+    assert fgd2 == pytest.approx(fgd1, rel=1e-5, abs=1e-7)
+    assert feat2 == pytest.approx(feat1, rel=1e-5)

@@ -162,7 +162,7 @@ def test_train_cli_gru_text_discriminator(tmp_path):
             "multimodal_context_checkpoint_best.bin").exists()
 
 
-@pytest.mark.parametrize("resident", ["false", "true"])
+@pytest.mark.parametrize("resident", ["false", "true", "fused"])
 def test_train_cli_eval_full_set(tmp_path, resident):
     """--eval_full_set: the val pass covers ALL samples (the 9s-clip
     synthetic val set has 20, batch 8 -> the reference-faithful default
@@ -176,9 +176,14 @@ def test_train_cli_eval_full_set(tmp_path, resident):
             str(base / split), n_videos=2, clips_per_video=1,
             clip_duration_s=9.0 if split == "lmdb_val" else 8.0,
             seed=hash(split) % 67)
-    args = _mmc_args(tmp_path, base, [
-        "--eval_full_set", "true",
-        "--device_resident_data", resident])
+    extra = ["--eval_full_set", "true"]
+    if resident == "fused":
+        # single-device data mesh activates the fused one-dispatch val
+        # pass (train/loops.py evaluate_testset_resident_fused)
+        extra += ["--device_resident_data", "true", "--dp_devices", "1"]
+    else:
+        extra += ["--device_resident_data", resident]
+    args = _mmc_args(tmp_path, base, extra)
     train_cli.main(args)
     logs = list((tmp_path / "out").glob("*.log"))
     assert logs, "train log file not written"
