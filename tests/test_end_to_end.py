@@ -231,6 +231,37 @@ def test_multimodal_fused_steps_per_call(workdir, fgd_ckpt):
     assert np.isfinite(best["loss"][0])
 
 
+def test_multimodal_fused_eval_pass_with_fgd(workdir, fgd_ckpt):
+    """Resident mode on a 1-device data mesh activates the fused
+    one-dispatch validation pass (train/loops.py
+    evaluate_testset_resident_fused) with the REAL FGD embedding net
+    running inside the scan; FGD must come out finite and the run must
+    checkpoint.  --eval_full_set exercises the masked tail row through
+    the real embed path too."""
+    args = cfg.parse_args([
+        "--config", _cfg("multimodal_context.yml"),
+        "--model_save_path", str(workdir / "mmc_fused_eval"),
+        "--batch_size", "8", "--random_seed", "7",
+        "--hidden_size", "32", "--n_layers", "2",
+        "--wordembed_dim", "16", "--wordembed_path", "",
+        "--eval_net_path", fgd_ckpt, "--loss_warmup", "0",
+        "--device_resident_data", "true", "--dp_devices", "1",
+        "--eval_full_set", "true",
+        "--save_result_video", "false"])
+    train_ds, val_ds, lang = _make_loaders(workdir, args)
+    if lang.word_embedding_weights is not None and \
+            lang.word_embedding_weights.shape[1] != args.wordembed_dim:
+        lang.load_word_vectors("", args.wordembed_dim)
+    train_loader = BatchIterator(train_ds, 8, shuffle=True, prefetch=0)
+    test_loader = BatchIterator(val_ds, 8, shuffle=False, prefetch=0)
+    _, _, best = train_epochs(args, train_loader, test_loader, lang,
+                              pose_dim=27,
+                              speaker_model=train_ds.speaker_model,
+                              trial_epochs=1)
+    assert np.isfinite(best["loss"][0])
+    assert "frechet" in best and np.isfinite(best["frechet"][0])
+
+
 def test_feature_extractor_steps_per_call(workdir):
     """--steps_per_call fuses K FGD-AE iterations per dispatch via the
     same scan fusion the main driver uses; an epoch count not divisible
