@@ -77,6 +77,12 @@ def main(mode, checkpoint_path, option, data_base="data/ted_dataset",
         if env_full is not None:
             args.eval_full_set = env_full.strip().lower() not in (
                 "0", "false", "")
+        # likewise for the fused one-dispatch val pass (default on for
+        # the resident path; GG_FUSED_EVAL_PASS=0 -> per-batch eval)
+        env_fused = os.environ.get("GG_FUSED_EVAL_PASS")
+        if env_fused is not None:
+            args.fused_eval_pass = env_fused.strip().lower() not in (
+                "0", "false", "")
         val_data_path = os.path.join(data_base, "lmdb_val")
         embed_space_evaluator = None
         if args.eval_net_path and os.path.exists(args.eval_net_path):
