@@ -27,6 +27,45 @@ BASELINE_FRAMES_PER_SEC = 17700.0
 N_POSES = 34
 
 
+def _wait_for_backend(deadline_s=None):
+    """Preflight for transient tunnel outages.
+
+    The axon-tunneled TPU has multi-minute outages (round 3 observed one
+    >2 h) during which EVERY dispatch — even a 128x128 matmul — hangs
+    indefinitely.  Probe with a tiny matmul in a SUBPROCESS (a hung
+    in-process device_get cannot be cancelled) and wait for recovery
+    before starting the measurement, so a driver-invoked bench run that
+    lands in an outage waits it out instead of hanging or timing
+    garbage.  GG_BENCH_PREFLIGHT_S bounds the wait (default 1800 s);
+    on expiry we proceed anyway and let the caller's timeout decide."""
+    import subprocess
+    if deadline_s is None:
+        deadline_s = float(os.environ.get("GG_BENCH_PREFLIGHT_S", "1800"))
+    probe = ("import jax, jax.numpy as jnp; "
+             "x = jnp.ones((128, 128)); "
+             "print(float(jax.device_get(x @ x)[0, 0]))")
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            subprocess.run([sys.executable, "-c", probe], timeout=120,
+                           check=True, capture_output=True)
+            if attempt > 1:
+                print("backend recovered after %.0f s" % (time.time() - t0),
+                      file=sys.stderr)
+            return True
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            waited = time.time() - t0
+            if waited > deadline_s:
+                print("backend probe still failing after %.0f s; "
+                      "proceeding anyway" % waited, file=sys.stderr)
+                return False
+            print("backend probe failed (attempt %d, %.0f s in); waiting "
+                  "for the tunnel" % (attempt, waited), file=sys.stderr)
+            time.sleep(60)
+
+
 def main():
     import argparse
     ap = argparse.ArgumentParser()
@@ -59,6 +98,7 @@ def main():
     from gesture_generation_from_trimodal_context_tpu.utils import (
         compile_cache)
     compile_cache.enable()
+    _wait_for_backend()
     import __graft_entry__ as ge
     from gesture_generation_from_trimodal_context_tpu.models import factory
     from gesture_generation_from_trimodal_context_tpu.train.gan import (
