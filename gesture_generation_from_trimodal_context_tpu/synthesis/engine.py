@@ -11,10 +11,18 @@ Behavioral contract: reference scripts/synthesize.py:36-209
 - seq2seq extra cubic-polyfit smoothing at window joins,
 - optional fade-out to the mean pose near the padded tail.
 
-TPU design: the per-window model call is one jitted function with fixed
-shapes (host code only prepares numpy inputs), so any clip length runs
-without recompilation; the 4-frame seed chain keeps windows sequential
-(SURVEY.md §5 long-context note).
+TPU design: all per-window inputs are precomputed on the host and the
+WHOLE autoregressive window chain runs as ONE jitted `lax.scan` whose
+carry is the n_pre_poses-frame seed (the only inter-window dependency) —
+one device dispatch per clip instead of one per window, which matters
+wherever dispatch latency dwarfs the ~0.25 ms window forward (the axon
+tunnel costs ~100 ms/roundtrip; a real TPU host still pays a launch per
+window).  Window counts are padded up to power-of-two buckets so any
+clip length hits one of a few compiled programs (padded windows repeat
+the last real window's inputs and are discarded on the host).  The
+per-window host-loop path is kept (`fused=False` / GG_FUSED_SYNTH=0)
+and is equivalence-pinned against the fused scan in
+tests/test_fused_synthesis.py.
 
 Known reference bug NOT reproduced: the speech2gesture spectrogram window
 start is computed against spectrogram.shape[0] (=128 mel bins) instead of
@@ -34,46 +42,167 @@ import jax.numpy as jnp
 from ..ops import audio as audio_ops
 
 
-def _make_window_fn(bundle, args):
-    gen = bundle.generator
-    model = bundle.model_name
-
-    @jax.jit
-    def run(gen_vars, pre_seq, in_text, in_audio, in_spec, word_seq,
-            word_lengths, vid, rng):
-        rngs = {"noise": rng, "dropout": jax.random.fold_in(rng, 1)}
-        if model == "multimodal_context":
-            out, *_ = gen.apply(gen_vars, pre_seq, in_text, in_audio, vid,
-                                train=False, rngs=rngs)
-        elif model == "joint_embedding":
-            res = gen.apply(gen_vars, in_text, in_audio,
-                            pre_seq[:, :args.n_pre_poses, :-1], None,
-                            "speech", train=False, rngs=rngs)
-            out = res[6]
-        elif model == "seq2seq":
-            out = gen.apply(gen_vars, word_seq, word_lengths,
-                            pre_seq[:, :, :-1], train=False, rngs=rngs)
-        elif model == "speech2gesture":
-            out = gen.apply(gen_vars, in_spec,
-                            pre_seq[:, :args.n_pre_poses, :-1],
-                            train=False, rngs=rngs)
-        else:
-            raise ValueError(model)
-        return out
-
-    return run
-
-
 WORD_CAP = 64  # fixed word capacity per window (single compile)
 
 
+def _apply_window(bundle, args, gen_vars, pre_seq, extended, in_audio,
+                  in_spec, word_ids, word_lengths, vid, rng):
+    """One generator forward on one (batch-1) window; shared by the
+    per-window jit path and the fused-scan body (reference
+    synthesize.py:128-143 model dispatch)."""
+    gen, model = bundle.generator, bundle.model_name
+    rngs = {"noise": rng, "dropout": jax.random.fold_in(rng, 1)}
+    if model == "multimodal_context":
+        out, *_ = gen.apply(gen_vars, pre_seq, extended, in_audio, vid,
+                            train=False, rngs=rngs)
+    elif model == "joint_embedding":
+        res = gen.apply(gen_vars, extended, in_audio,
+                        pre_seq[:, :args.n_pre_poses, :-1], None,
+                        "speech", train=False, rngs=rngs)
+        out = res[6]
+    elif model == "seq2seq":
+        out = gen.apply(gen_vars, word_ids, word_lengths,
+                        pre_seq[:, :, :-1], train=False, rngs=rngs)
+    elif model == "speech2gesture":
+        out = gen.apply(gen_vars, in_spec,
+                        pre_seq[:, :args.n_pre_poses, :-1],
+                        train=False, rngs=rngs)
+    else:
+        raise ValueError(model)
+    return out
+
+
+def _fn_cache(bundle):
+    # ModelBundle is a plain dataclass; stash compiled fns on the
+    # instance so repeated generate_gestures calls (e.g. from_db_clip
+    # over many clips, the server loop) reuse the jit trace instead of
+    # re-tracing per call.
+    return bundle.__dict__.setdefault("_synth_fn_cache", {})
+
+
+def _get_window_fn(bundle, args, impl):
+    cache = _fn_cache(bundle)
+    key = ("window", impl)
+    if key not in cache:
+        def run(gen_vars, pre_seq, in_text, in_audio, in_spec, word_seq,
+                word_lengths, vid, rng):
+            return _apply_window(bundle, args, gen_vars, pre_seq, in_text,
+                                 in_audio, in_spec, word_seq, word_lengths,
+                                 vid, rng)
+        cache[key] = jax.jit(run)
+    return cache[key]
+
+
+def _get_fused_fn(bundle, args, n_windows, impl):
+    cache = _fn_cache(bundle)
+    key = ("fused", n_windows, impl)
+    if key not in cache:
+        n_pre = args.n_pre_poses
+
+        def fused(gen_vars, extended, in_audio, in_spec, word_ids,
+                  word_lengths, init_tail, init_con, vid, rng):
+            n_frames = extended.shape[1]
+            pose_dim = init_tail.shape[-1]
+
+            def body(carry, xs):
+                tail, con = carry
+                i, ext, aud, spec, wids, wlen = xs
+                pre_seq = jnp.zeros((1, n_frames, pose_dim + 1),
+                                    jnp.float32)
+                pre_seq = pre_seq.at[0, :n_pre, :-1].set(tail)
+                pre_seq = pre_seq.at[0, :n_pre, -1].set(con)
+                out = _apply_window(
+                    bundle, args, gen_vars, pre_seq, ext[None], aud[None],
+                    spec[None], wids[None], wlen[None], vid,
+                    jax.random.fold_in(rng, i))
+                new_carry = (out[0, -n_pre:],
+                             jnp.ones((n_pre,), jnp.float32))
+                return new_carry, out[0]
+
+            xs = (jnp.arange(n_windows, dtype=jnp.int32), extended,
+                  in_audio, in_spec, word_ids, word_lengths)
+            _, outs = jax.lax.scan(body, (init_tail, init_con), xs)
+            return outs
+
+        cache[key] = jax.jit(fused)
+    return cache[key]
+
+
+def _bucket(n):
+    """Pad window counts to power-of-two buckets: any clip length maps
+    to one of ~log2(max windows) compiled fused programs."""
+    return 1 << max(0, (n - 1).bit_length())
+
+
+def _prepare_windows(args, bundle, lang_model, audio, words, audio_sr,
+                     num_subdivision, unit_time, stride_time, clip_length,
+                     audio_sample_length, spectrogram_sample_length,
+                     spectrogram, use_spectrogram):
+    """Host-side assembly of every window's model inputs, stacked on a
+    leading window axis (reference synthesize.py:84-126, minus the seed
+    chaining which is the scan carry / host loop)."""
+    from ..data.preprocessor import get_words_in_time_range
+
+    n_frames = args.n_poses
+    n = num_subdivision
+    ext_all = np.zeros((n, n_frames), np.int32)
+    wid_all = np.zeros((n, WORD_CAP), np.int32)
+    wlen_all = np.zeros((n,), np.int32)
+    aud_all = np.zeros((n, audio_sample_length), np.float32)
+    if use_spectrogram:
+        spec_all = np.zeros((n, audio_ops.N_MELS,
+                             spectrogram_sample_length), np.float32)
+    else:
+        # unused by the model dispatch; keep the device transfer tiny
+        spec_all = np.zeros((n, 1, 1), np.float32)
+    end_padding_duration = 0
+
+    for i in range(n):
+        start_time = i * stride_time
+        end_time = start_time + unit_time
+
+        if use_spectrogram:
+            a0 = math.floor(start_time / clip_length * spectrogram.shape[1])
+            a1 = a0 + spectrogram_sample_length
+            sl = spectrogram[:, a0:a1]
+            spec_all[i, :, :sl.shape[1]] = sl
+
+        a0 = math.floor(start_time / clip_length * len(audio))
+        a1 = a0 + audio_sample_length
+        in_audio = audio[a0:a1]
+        if len(in_audio) < audio_sample_length:
+            if i == n - 1:
+                end_padding_duration = audio_sample_length - len(in_audio)
+            in_audio = np.pad(in_audio,
+                              (0, audio_sample_length - len(in_audio)),
+                              "constant")
+        aud_all[i] = in_audio.astype(np.float32)
+
+        # text windows (reference synthesize.py:106-119)
+        word_seq = get_words_in_time_range(words, start_time, end_time)
+        wid_all[i, 0] = lang_model.SOS_token
+        frame_duration = (end_time - start_time) / n_frames
+        w_count = 1
+        for word in word_seq:
+            idx = max(0, int(np.floor((word[1] - start_time)
+                                      / frame_duration)))
+            if idx < n_frames:
+                ext_all[i, idx] = lang_model.get_word_index(word[0])
+            if w_count < WORD_CAP - 1:
+                wid_all[i, w_count] = lang_model.get_word_index(word[0])
+                w_count += 1
+        wid_all[i, w_count] = lang_model.EOS_token
+        wlen_all[i] = w_count + 1
+
+    return (ext_all, wid_all, wlen_all, aud_all, spec_all,
+            end_padding_duration)
 
 
 def generate_gestures(args, bundle, gen_vars, lang_model, audio, words,
                       audio_sr=16000, vid=None, seed_seq=None,
-                      fade_out=False, rng=None):
-    out_list = []
+                      fade_out=False, rng=None, fused=None):
     n_frames = args.n_poses
+    n_pre = args.n_pre_poses
     mean_dir_vec = np.array(args.mean_dir_vec).squeeze()
     pose_dim = mean_dir_vec.size
     clip_length = len(audio) / audio_sr
@@ -81,6 +210,7 @@ def generate_gestures(args, bundle, gen_vars, lang_model, audio, words,
         random.randrange(2 ** 31))
 
     use_spectrogram = bundle.model_name == "speech2gesture"
+    from ..ops import recurrent
     from ..ops.recurrent import is_tpu_backend, set_gru_impl
     # The checkpoint's args record the TRAINING-time --use_pallas; the
     # inference kernel choice is made here instead (numerics are
@@ -101,15 +231,12 @@ def generate_gestures(args, bundle, gen_vars, lang_model, audio, words,
             "GG_USE_PALLAS=0/1)", flag,
             "pallas" if use_pallas else "scan")
     set_gru_impl("pallas" if use_pallas else "scan")
-    logging.info("synthesis GRU impl: %s",
-                 "pallas" if use_pallas else "scan")
-    window_fn = _make_window_fn(bundle, args)
-
-    # seed pre-seq (reference synthesize.py:47-50)
-    pre_seq = np.zeros((1, n_frames, pose_dim + 1), np.float32)
-    if seed_seq is not None:
-        pre_seq[0, 0:args.n_pre_poses, :-1] = seed_seq[0:args.n_pre_poses]
-        pre_seq[0, 0:args.n_pre_poses, -1] = 1
+    impl = recurrent._GRU_IMPL
+    if fused is None:
+        env = os.environ.get("GG_FUSED_SYNTH")
+        fused = env.lower() not in ("0", "false", "no") if env else True
+    logging.info("synthesis GRU impl: %s (%s window chain)",
+                 impl, "fused" if fused else "per-window")
 
     sr = audio_ops.SR
     spectrogram = None
@@ -126,7 +253,6 @@ def generate_gestures(args, bundle, gen_vars, lang_model, audio, words,
                                     / stride_time) + 1
     spectrogram_sample_length = int(round(unit_time * sr / 512))
     audio_sample_length = int(unit_time * audio_sr)
-    end_padding_duration = 0
 
     # speaker input (reference synthesize.py:70-76)
     if args.z_type == "speaker":
@@ -140,77 +266,79 @@ def generate_gestures(args, bundle, gen_vars, lang_model, audio, words,
     logging.info("%s, %s, %s, %s, %s", num_subdivision, unit_time,
                  clip_length, stride_time, audio_sample_length)
 
-    out_dir_vec = None
+    (ext_all, wid_all, wlen_all, aud_all, spec_all,
+     end_padding_duration) = _prepare_windows(
+        args, bundle, lang_model, audio, words, audio_sr, num_subdivision,
+        unit_time, stride_time, clip_length, audio_sample_length,
+        spectrogram_sample_length, spectrogram, use_spectrogram)
+
+    # window-0 seed (reference synthesize.py:47-50): the carry of the
+    # fused scan / the mutable pre_seq head of the host loop
+    if seed_seq is not None:
+        init_tail = np.asarray(seed_seq[:n_pre], np.float32)
+        init_con = np.ones((n_pre,), np.float32)
+    else:
+        init_tail = np.zeros((n_pre, pose_dim), np.float32)
+        init_con = np.zeros((n_pre,), np.float32)
+
     start = time.time()
-    for i in range(num_subdivision):
-        start_time = i * stride_time
-        end_time = start_time + unit_time
+    if fused:
+        n_pad = _bucket(num_subdivision)
+        if n_pad > num_subdivision:
+            # repeat the last real window's (always-valid) inputs; the
+            # padded outputs are sliced away below
+            reps = n_pad - num_subdivision
+            ext_all = np.concatenate(
+                [ext_all, np.repeat(ext_all[-1:], reps, 0)])
+            wid_all = np.concatenate(
+                [wid_all, np.repeat(wid_all[-1:], reps, 0)])
+            wlen_all = np.concatenate(
+                [wlen_all, np.repeat(wlen_all[-1:], reps, 0)])
+            aud_all = np.concatenate(
+                [aud_all, np.repeat(aud_all[-1:], reps, 0)])
+            spec_all = np.concatenate(
+                [spec_all, np.repeat(spec_all[-1:], reps, 0)])
+        fused_fn = _get_fused_fn(bundle, args, n_pad, impl)
+        outs = np.asarray(fused_fn(
+            gen_vars, jnp.asarray(ext_all), jnp.asarray(aud_all),
+            jnp.asarray(spec_all), jnp.asarray(wid_all),
+            jnp.asarray(wlen_all), jnp.asarray(init_tail),
+            jnp.asarray(init_con), jnp.asarray(vid_arr), rng))
+        raw_windows = [outs[i] for i in range(num_subdivision)]
+    else:
+        window_fn = _get_window_fn(bundle, args, impl)
+        pre_seq = np.zeros((1, n_frames, pose_dim + 1), np.float32)
+        pre_seq[0, :n_pre, :-1] = init_tail
+        pre_seq[0, :n_pre, -1] = init_con
+        raw_windows = []
+        for i in range(num_subdivision):
+            if i > 0:
+                pre_seq[0, :n_pre, :-1] = raw_windows[-1][-n_pre:]
+                pre_seq[0, :n_pre, -1] = 1
+            out = np.asarray(window_fn(
+                gen_vars, jnp.asarray(pre_seq), jnp.asarray(ext_all[i:i+1]),
+                jnp.asarray(aud_all[i:i+1]), jnp.asarray(spec_all[i:i+1]),
+                jnp.asarray(wid_all[i:i+1]), jnp.asarray(wlen_all[i:i+1]),
+                jnp.asarray(vid_arr), jax.random.fold_in(rng, i)))
+            raw_windows.append(out[0])
+    logging.info("generation took %.2f s",
+                 (time.time() - start) / num_subdivision)
 
-        # spectrogram window
-        in_spec = np.zeros((1, audio_ops.N_MELS, spectrogram_sample_length),
-                           np.float32)
-        if use_spectrogram:
-            a0 = math.floor(start_time / clip_length * spectrogram.shape[1])
-            a1 = a0 + spectrogram_sample_length
-            sl = spectrogram[:, a0:a1]
-            in_spec[0, :, :sl.shape[1]] = sl
-
-        # audio window
-        a0 = math.floor(start_time / clip_length * len(audio))
-        a1 = a0 + audio_sample_length
-        in_audio = audio[a0:a1]
-        if len(in_audio) < audio_sample_length:
-            if i == num_subdivision - 1:
-                end_padding_duration = audio_sample_length - len(in_audio)
-            in_audio = np.pad(in_audio,
-                              (0, audio_sample_length - len(in_audio)),
-                              "constant")
-        in_audio = in_audio[None].astype(np.float32)
-
-        # text windows (reference synthesize.py:106-119)
-        from ..data.preprocessor import get_words_in_time_range
-        word_seq = get_words_in_time_range(words, start_time, end_time)
-        extended = np.zeros((1, n_frames), np.int32)
-        word_ids = np.zeros((1, WORD_CAP), np.int32)
-        word_ids[0, 0] = lang_model.SOS_token
-        frame_duration = (end_time - start_time) / n_frames
-        w_count = 1
-        for word in word_seq:
-            idx = max(0, int(np.floor((word[1] - start_time)
-                                      / frame_duration)))
-            if idx < n_frames:
-                extended[0, idx] = lang_model.get_word_index(word[0])
-            if w_count < WORD_CAP - 1:
-                word_ids[0, w_count] = lang_model.get_word_index(word[0])
-                w_count += 1
-        word_ids[0, w_count] = lang_model.EOS_token
-        word_lengths = np.array([w_count + 1], np.int32)
-
-        # seed chaining (reference synthesize.py:121-126)
-        if i > 0:
-            pre_seq[0, 0:args.n_pre_poses, :-1] = \
-                out_dir_vec[0, -args.n_pre_poses:]
-            pre_seq[0, 0:args.n_pre_poses, -1] = 1
-
-        out_dir_vec = np.asarray(window_fn(
-            gen_vars, jnp.asarray(pre_seq), jnp.asarray(extended),
-            jnp.asarray(in_audio), jnp.asarray(in_spec),
-            jnp.asarray(word_ids), jnp.asarray(word_lengths),
-            jnp.asarray(vid_arr), jax.random.fold_in(rng, i)))
-        out_seq = out_dir_vec[0].copy()
-
-        # crossfade the n_pre_poses overlap (reference synthesize.py:145-153)
-        if len(out_list) > 0:
-            last_poses = out_list[-1][-args.n_pre_poses:]
-            out_list[-1] = out_list[-1][:-args.n_pre_poses]
+    # crossfade the n_pre_poses overlap (reference synthesize.py:145-153);
+    # identical math for both paths: the blend consumes the PREVIOUS
+    # window's raw tail (the same frames that seed the next window), so
+    # it can run after the whole chain
+    out_list = []
+    for k, raw in enumerate(raw_windows):
+        out_seq = raw.copy()
+        if out_list:
+            last_poses = out_list[-1][-n_pre:]
+            out_list[-1] = out_list[-1][:-n_pre]
             n = len(last_poses)
             for j in range(n):
                 out_seq[j] = (last_poses[j] * (n - j) / (n + 1)
                               + out_seq[j] * (j + 1) / (n + 1))
         out_list.append(out_seq)
-
-    logging.info("generation took %.2f s",
-                 (time.time() - start) / num_subdivision)
     out_dir_vec = np.vstack(out_list)
 
     # seq2seq join smoothing (reference synthesize.py:163-185)
