@@ -194,9 +194,9 @@ def _hierarchy_lines(rest_dirs, scale):
     return lines, order
 
 
-def export_bvh(dir_vec, path, fps=15, rest_dir_vec=None, scale=1.0,
+def bvh_string(dir_vec, fps=15, rest_dir_vec=None, scale=1.0,
                root_positions=None):
-    """Write a BVH file from per-frame bone direction vectors.
+    """Render a BVH document from per-frame bone direction vectors.
 
     dir_vec: (T, 9, 3) or (T, 27) bone directions WITH the dataset mean
         already added back (the PKL's ``out_dir_vec``); renormalized here.
@@ -229,6 +229,14 @@ def export_bvh(dir_vec, path, fps=15, rest_dir_vec=None, scale=1.0,
         for bone in order:
             row.extend(motion[f, bone] if bone is not None else zero3)
         lines.append(_fmt(row))
+    return "\n".join(lines) + "\n"
+
+
+def export_bvh(dir_vec, path, fps=15, rest_dir_vec=None, scale=1.0,
+               root_positions=None):
+    """Write `bvh_string` output to a file (see its docstring)."""
+    doc = bvh_string(dir_vec, fps=fps, rest_dir_vec=rest_dir_vec,
+                     scale=scale, root_positions=root_positions)
     with open(path, "w") as fh:
-        fh.write("\n".join(lines) + "\n")
+        fh.write(doc)
     return path

@@ -11,9 +11,10 @@ Endpoints (JSON over stdlib http.server, no extra deps):
                                  "audio_b64": base64 float32 LE,
                                  "words": [[word, start_s, end_s], ...],
                                  "vid": optional int,
-                                 "seed_seq": optional [[...pose_dim]x4]}
+                                 "seed_seq": optional [[...pose_dim]x4],
+                                 "format": optional "bvh" (+ "scale")}
   -> {"out_dir_vec": [[...]], "out_poses": [[[x,y,z]x10]], "frames": N,
-      "latency_ms": ...}
+      "latency_ms": ...}   or {"bvh": "...", "frames": N, ...}
 """
 
 import base64
@@ -43,10 +44,17 @@ class SynthesisService:
         self._lock = threading.Lock()
         self._warm = False
 
-    def warmup(self):
-        """Compile the window step once so first requests are fast."""
-        audio = np.zeros(16000, np.float32)
-        self.generate(audio, [["hello", 0.1, 0.4]], vid=0)
+    def warmup(self, buckets=(1,)):
+        """Pre-compile the fused window-chain program for the given
+        window-count buckets (engine._bucket) so first requests at any
+        clip length under the largest bucket run at steady state."""
+        unit = self.args.n_poses / self.args.motion_resampling_framerate
+        stride = (self.args.n_poses - self.args.n_pre_poses) / \
+            self.args.motion_resampling_framerate
+        for n in buckets:
+            secs = 1.0 if n <= 1 else unit + (n - 1) * stride
+            audio = np.zeros(int(secs * 16000), np.float32)
+            self.generate(audio, [["hello", 0.1, 0.4]], vid=0)
         self._warm = True
 
     def generate(self, audio, words, vid=None, seed_seq=None):
@@ -102,12 +110,22 @@ def make_handler(service: SynthesisService):
                         if "seed_seq" in req else None)
                 dir_vec, poses, latency = service.generate(
                     audio, words, vid=req.get("vid"), seed_seq=seed)
-                self._json(200, {
-                    "out_dir_vec": dir_vec.tolist(),
-                    "out_poses": poses.tolist(),
+                payload = {
                     "frames": int(dir_vec.shape[0]),
                     "latency_ms": round(latency, 2),
-                })
+                }
+                if req.get("format") == "bvh":
+                    # character-animation document (interop/bvh_export):
+                    # importable by Blender/Maya/MotionBuilder
+                    from ..interop.bvh_export import bvh_string
+                    payload["bvh"] = bvh_string(
+                        dir_vec + service.mean_dir_vec,
+                        fps=service.args.motion_resampling_framerate,
+                        scale=float(req.get("scale", 1.0)))
+                else:
+                    payload["out_dir_vec"] = dir_vec.tolist()
+                    payload["out_poses"] = poses.tolist()
+                self._json(200, payload)
             except Exception as e:  # report, don't crash the server
                 logging.exception("synthesize failed")
                 self._json(500, {"error": str(e)})
@@ -115,11 +133,13 @@ def make_handler(service: SynthesisService):
     return Handler
 
 
-def serve(checkpoint_path, host="127.0.0.1", port=8765, warmup=True):
+def serve(checkpoint_path, host="127.0.0.1", port=8765, warmup=True,
+          warmup_buckets=(1,)):
     service = SynthesisService(checkpoint_path)
     if warmup:
-        logging.info("warming up (compiling the window step)...")
-        service.warmup()
+        logging.info("warming up (compiling window-chain buckets %s)...",
+                     warmup_buckets)
+        service.warmup(warmup_buckets)
     server = ThreadingHTTPServer((host, port), make_handler(service))
     logging.info("serving %s on http://%s:%d", checkpoint_path, host, port)
     return server
@@ -128,5 +148,7 @@ def serve(checkpoint_path, host="127.0.0.1", port=8765, warmup=True):
 def main(argv):
     ckpt = argv[1]
     port = int(argv[2]) if len(argv) > 2 else 8765
-    server = serve(ckpt, port=port)
+    # pre-compile up to 8-window (~16 s) clips; longer first requests
+    # compile their bucket once (persistent cache makes restarts warm)
+    server = serve(ckpt, port=port, warmup_buckets=(1, 4, 8))
     server.serve_forever()

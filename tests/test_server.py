@@ -61,6 +61,17 @@ def test_server_roundtrip(tiny_ckpt):
         assert np.asarray(resp["out_poses"]).shape == (34, 10, 3)
         assert resp["latency_ms"] > 0
 
+        # BVH character-animation output on the same warm server
+        body = json.dumps({"audio": audio, "words": [["w1", 0.1, 0.3]],
+                           "vid": 1, "format": "bvh", "scale": 100.0})
+        conn.request("POST", "/synthesize", body=body,
+                     headers={"Content-Type": "application/json"})
+        resp = json.loads(conn.getresponse().read())
+        assert "out_dir_vec" not in resp
+        assert resp["bvh"].startswith("HIERARCHY")
+        assert "Frames: 34" in resp["bvh"]
+        assert "MOTION" in resp["bvh"]
+
         # error path stays alive
         conn.request("POST", "/synthesize", body="not json")
         assert conn.getresponse().status == 500
