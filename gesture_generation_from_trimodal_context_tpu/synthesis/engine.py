@@ -198,15 +198,21 @@ def _prepare_windows(args, bundle, lang_model, audio, words, audio_sr,
             end_padding_duration)
 
 
-def generate_gestures(args, bundle, gen_vars, lang_model, audio, words,
-                      audio_sr=16000, vid=None, seed_seq=None,
-                      fade_out=False, rng=None, fused=None):
-    n_frames = args.n_poses
-    n_pre = args.n_pre_poses
+class _Plan:
+    """Host-side synthesis plan: chosen kernel impl, window schedule,
+    stacked per-window inputs, and the window-0 seed."""
+    pass
+
+
+def _make_plan(args, bundle, lang_model, audio, words, audio_sr, vid,
+               seed_seq, rng):
+    p = _Plan()
+    p.n_frames = args.n_poses
+    p.n_pre = args.n_pre_poses
     mean_dir_vec = np.array(args.mean_dir_vec).squeeze()
-    pose_dim = mean_dir_vec.size
+    p.pose_dim = mean_dir_vec.size
     clip_length = len(audio) / audio_sr
-    rng = rng if rng is not None else jax.random.PRNGKey(
+    p.rng = rng if rng is not None else jax.random.PRNGKey(
         random.randrange(2 ** 31))
 
     use_spectrogram = bundle.model_name == "speech2gesture"
@@ -231,12 +237,7 @@ def generate_gestures(args, bundle, gen_vars, lang_model, audio, words,
             "GG_USE_PALLAS=0/1)", flag,
             "pallas" if use_pallas else "scan")
     set_gru_impl("pallas" if use_pallas else "scan")
-    impl = recurrent._GRU_IMPL
-    if fused is None:
-        env = os.environ.get("GG_FUSED_SYNTH")
-        fused = env.lower() not in ("0", "false", "no") if env else True
-    logging.info("synthesis GRU impl: %s (%s window chain)",
-                 impl, "fused" if fused else "per-window")
+    p.impl = recurrent._GRU_IMPL
 
     sr = audio_ops.SR
     spectrogram = None
@@ -251,6 +252,7 @@ def generate_gestures(args, bundle, gen_vars, lang_model, audio, words,
     else:
         num_subdivision = math.ceil((clip_length - unit_time)
                                     / stride_time) + 1
+    p.num_subdivision = num_subdivision
     spectrogram_sample_length = int(round(unit_time * sr / 512))
     audio_sample_length = int(unit_time * audio_sr)
 
@@ -259,15 +261,15 @@ def generate_gestures(args, bundle, gen_vars, lang_model, audio, words,
         if not vid:
             vid = random.randrange(bundle.generator.n_speakers)
         logging.info("vid: %s", vid)
-        vid_arr = np.array([vid], np.int32)
+        p.vid_arr = np.array([vid], np.int32)
     else:
-        vid_arr = np.zeros((1,), np.int32)
+        p.vid_arr = np.zeros((1,), np.int32)
 
     logging.info("%s, %s, %s, %s, %s", num_subdivision, unit_time,
                  clip_length, stride_time, audio_sample_length)
 
-    (ext_all, wid_all, wlen_all, aud_all, spec_all,
-     end_padding_duration) = _prepare_windows(
+    (p.ext_all, p.wid_all, p.wlen_all, p.aud_all, p.spec_all,
+     p.end_padding_duration) = _prepare_windows(
         args, bundle, lang_model, audio, words, audio_sr, num_subdivision,
         unit_time, stride_time, clip_length, audio_sample_length,
         spectrogram_sample_length, spectrogram, use_spectrogram)
@@ -275,11 +277,42 @@ def generate_gestures(args, bundle, gen_vars, lang_model, audio, words,
     # window-0 seed (reference synthesize.py:47-50): the carry of the
     # fused scan / the mutable pre_seq head of the host loop
     if seed_seq is not None:
-        init_tail = np.asarray(seed_seq[:n_pre], np.float32)
-        init_con = np.ones((n_pre,), np.float32)
+        p.init_tail = np.asarray(seed_seq[:p.n_pre], np.float32)
+        p.init_con = np.ones((p.n_pre,), np.float32)
     else:
-        init_tail = np.zeros((n_pre, pose_dim), np.float32)
-        init_con = np.zeros((n_pre,), np.float32)
+        p.init_tail = np.zeros((p.n_pre, p.pose_dim), np.float32)
+        p.init_con = np.zeros((p.n_pre,), np.float32)
+    return p
+
+
+def _blend_head(out_seq, last_poses):
+    """Linear crossfade of the overlap (reference synthesize.py:145-153):
+    out_seq's first len(last_poses) frames blend with the previous
+    window's raw tail.  Mutates and returns out_seq."""
+    n = len(last_poses)
+    for j in range(n):
+        out_seq[j] = (last_poses[j] * (n - j) / (n + 1)
+                      + out_seq[j] * (j + 1) / (n + 1))
+    return out_seq
+
+
+def generate_gestures(args, bundle, gen_vars, lang_model, audio, words,
+                      audio_sr=16000, vid=None, seed_seq=None,
+                      fade_out=False, rng=None, fused=None):
+    if fused is None:
+        env = os.environ.get("GG_FUSED_SYNTH")
+        fused = env.lower() not in ("0", "false", "no") if env else True
+    p = _make_plan(args, bundle, lang_model, audio, words, audio_sr, vid,
+                   seed_seq, rng)
+    logging.info("synthesis GRU impl: %s (%s window chain)",
+                 p.impl, "fused" if fused else "per-window")
+    num_subdivision, n_pre = p.num_subdivision, p.n_pre
+    rng = p.rng
+    (ext_all, wid_all, wlen_all, aud_all, spec_all, vid_arr, init_tail,
+     init_con, pose_dim, n_frames, impl, end_padding_duration) = (
+        p.ext_all, p.wid_all, p.wlen_all, p.aud_all, p.spec_all, p.vid_arr,
+        p.init_tail, p.init_con, p.pose_dim, p.n_frames, p.impl,
+        p.end_padding_duration)
 
     start = time.time()
     if fused:
@@ -334,10 +367,7 @@ def generate_gestures(args, bundle, gen_vars, lang_model, audio, words,
         if out_list:
             last_poses = out_list[-1][-n_pre:]
             out_list[-1] = out_list[-1][:-n_pre]
-            n = len(last_poses)
-            for j in range(n):
-                out_seq[j] = (last_poses[j] * (n - j) / (n + 1)
-                              + out_seq[j] * (j + 1) / (n + 1))
+            _blend_head(out_seq, last_poses)
         out_list.append(out_seq)
     out_dir_vec = np.vstack(out_list)
 
@@ -384,3 +414,55 @@ def generate_gestures(args, bundle, gen_vars, lang_model, audio, words,
         out_dir_vec[start_frame:end_frame] = interpolated
 
     return out_dir_vec
+
+
+def generate_gestures_stream(args, bundle, gen_vars, lang_model, audio,
+                             words, audio_sr=16000, vid=None, seed_seq=None,
+                             rng=None):
+    """Stream the clip window by window: yields (start_frame, frames)
+    as each window's frames FINALIZE, i.e. after the linear crossfade
+    with the next seed chain step — concatenating all chunks equals
+    `generate_gestures(..., fused=False)` exactly (pinned in
+    tests/test_fused_synthesis.py).  First motion arrives after one
+    window forward (~0.25 ms compute + one dispatch) instead of after
+    the whole clip; each subsequent chunk covers stride_time
+    (= (n_poses - n_pre_poses)/fps, 2 s at the published recipe) of
+    motion, so streaming runs ahead of real time whenever a window
+    forward beats the stride.
+
+    Batch-only post-passes do not apply here: the seq2seq join
+    smoothing and fade_out both rewrite frames across chunk boundaries
+    after the fact (reference synthesize.py:163-207); use
+    generate_gestures for those semantics.
+    """
+    p = _make_plan(args, bundle, lang_model, audio, words, audio_sr, vid,
+                   seed_seq, rng)
+    logging.info("synthesis GRU impl: %s (streaming window chain)", p.impl)
+    n_pre = p.n_pre
+    window_fn = _get_window_fn(bundle, args, p.impl)
+
+    pre_seq = np.zeros((1, p.n_frames, p.pose_dim + 1), np.float32)
+    pre_seq[0, :n_pre, :-1] = p.init_tail
+    pre_seq[0, :n_pre, -1] = p.init_con
+
+    # window k's frames are final up to its last n_pre (those get
+    # crossfade-replaced by window k+1's blended head), so each window
+    # emits its first n_frames - n_pre frames immediately
+    prev_raw = None  # previous window's raw output (seed + blend source)
+    start_frame = 0
+    for i in range(p.num_subdivision):
+        if i > 0:
+            pre_seq[0, :n_pre, :-1] = prev_raw[-n_pre:]
+            pre_seq[0, :n_pre, -1] = 1
+        out = np.asarray(window_fn(
+            gen_vars, jnp.asarray(pre_seq), jnp.asarray(p.ext_all[i:i+1]),
+            jnp.asarray(p.aud_all[i:i+1]), jnp.asarray(p.spec_all[i:i+1]),
+            jnp.asarray(p.wid_all[i:i+1]), jnp.asarray(p.wlen_all[i:i+1]),
+            jnp.asarray(p.vid_arr), jax.random.fold_in(p.rng, i)))[0]
+        out_seq = out.copy()
+        if prev_raw is not None:
+            _blend_head(out_seq, prev_raw[-n_pre:])
+        chunk = out_seq if i == p.num_subdivision - 1 else out_seq[:-n_pre]
+        yield start_frame, chunk
+        start_frame += len(chunk)
+        prev_raw = out

@@ -15,6 +15,11 @@ Endpoints (JSON over stdlib http.server, no extra deps):
                                  "format": optional "bvh" (+ "scale")}
   -> {"out_dir_vec": [[...]], "out_poses": [[[x,y,z]x10]], "frames": N,
       "latency_ms": ...}   or {"bvh": "...", "frames": N, ...}
+- POST /synthesize_stream  same body (format/scale ignored)
+  -> chunked NDJSON, one line per finalized window:
+     {"start_frame": F, "frames": n, "out_dir_vec": ..., "out_poses":
+      ..., "elapsed_ms": ...} — first motion after ONE window forward;
+     each later line covers stride_time (2 s at the published recipe).
 """
 
 import base64
@@ -29,7 +34,7 @@ import jax
 
 from ..ops import skeleton
 from ..train import checkpoint as ckpt_lib
-from .engine import generate_gestures
+from .engine import generate_gestures, generate_gestures_stream
 
 
 class SynthesisService:
@@ -55,6 +60,11 @@ class SynthesisService:
             secs = 1.0 if n <= 1 else unit + (n - 1) * stride
             audio = np.zeros(int(secs * 16000), np.float32)
             self.generate(audio, [["hello", 0.1, 0.4]], vid=0)
+        # the streaming endpoint runs the per-window program; one pass
+        # compiles it too
+        for _ in self.generate_stream(np.zeros(16000, np.float32),
+                                      [["hello", 0.1, 0.4]], vid=0):
+            pass
         self._warm = True
 
     def generate(self, audio, words, vid=None, seed_seq=None):
@@ -69,9 +79,28 @@ class SynthesisService:
         poses = skeleton.convert_dir_vec_to_pose_np(out)
         return dir_vec, poses, latency
 
+    def generate_stream(self, audio, words, vid=None, seed_seq=None):
+        """Yield (start_frame, dir_vec_chunk, poses_chunk, elapsed_ms)
+        as windows finalize (engine.generate_gestures_stream)."""
+        with self._lock:
+            t0 = time.time()
+            stream = generate_gestures_stream(
+                self.args, self.bundle, self.gen_vars, self.lang_model,
+                np.asarray(audio, np.float32), words, vid=vid,
+                seed_seq=seed_seq,
+                rng=jax.random.PRNGKey(int(t0 * 1e3) % (2 ** 31)))
+            for start, chunk in stream:
+                poses = skeleton.convert_dir_vec_to_pose_np(
+                    chunk + self.mean_dir_vec)
+                yield start, chunk, poses, (time.time() - t0) * 1000.0
+
 
 def make_handler(service: SynthesisService):
     class Handler(BaseHTTPRequestHandler):
+        # chunked transfer (the streaming endpoint) requires HTTP/1.1;
+        # the JSON endpoints all send Content-Length
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):
             logging.info("http: " + fmt, *args)
 
@@ -92,22 +121,65 @@ def make_handler(service: SynthesisService):
             else:
                 self._json(404, {"error": "not found"})
 
+        def _parse_request(self):
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length))
+            if "audio_b64" in req:
+                audio = np.frombuffer(
+                    base64.b64decode(req["audio_b64"]), np.float32)
+            else:
+                audio = np.asarray(req["audio"], np.float32)
+            words = [[w[0], float(w[1]), float(w[2])]
+                     for w in req.get("words", [])]
+            seed = (np.asarray(req["seed_seq"], np.float32)
+                    if "seed_seq" in req else None)
+            return req, audio, words, seed
+
+        def _do_stream(self):
+            """NDJSON over chunked transfer: one line per finalized
+            window — first motion after ONE window forward instead of
+            the whole clip."""
+            try:
+                req, audio, words, seed = self._parse_request()
+                stream = service.generate_stream(
+                    audio, words, vid=req.get("vid"), seed_seq=seed)
+                first = next(stream)  # fail before headers if we can't run
+            except Exception as e:
+                logging.exception("synthesize_stream failed")
+                self._json(500, {"error": str(e)})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def write_chunk(payload):
+                data = (json.dumps(payload) + "\n").encode()
+                self.wfile.write(b"%x\r\n" % len(data))
+                self.wfile.write(data)
+                self.wfile.write(b"\r\n")
+
+            import itertools
+            for start, chunk, poses, elapsed in itertools.chain(
+                    [first], stream):
+                write_chunk({
+                    "start_frame": int(start),
+                    "frames": int(chunk.shape[0]),
+                    "out_dir_vec": chunk.tolist(),
+                    "out_poses": poses.tolist(),
+                    "elapsed_ms": round(elapsed, 2),
+                })
+            self.wfile.write(b"0\r\n\r\n")
+
         def do_POST(self):
+            if self.path == "/synthesize_stream":
+                self._do_stream()
+                return
             if self.path != "/synthesize":
                 self._json(404, {"error": "not found"})
                 return
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(length))
-                if "audio_b64" in req:
-                    audio = np.frombuffer(
-                        base64.b64decode(req["audio_b64"]), np.float32)
-                else:
-                    audio = np.asarray(req["audio"], np.float32)
-                words = [[w[0], float(w[1]), float(w[2])]
-                         for w in req.get("words", [])]
-                seed = (np.asarray(req["seed_seq"], np.float32)
-                        if "seed_seq" in req else None)
+                req, audio, words, seed = self._parse_request()
                 dir_vec, poses, latency = service.generate(
                     audio, words, vid=req.get("vid"), seed_seq=seed)
                 payload = {

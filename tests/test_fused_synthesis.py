@@ -116,3 +116,27 @@ def test_fused_single_window():
 def test_bucket():
     assert [_bucket(n) for n in (1, 2, 3, 4, 5, 8, 9, 60)] == \
         [1, 2, 4, 4, 8, 8, 16, 64]
+
+
+def test_stream_matches_batch():
+    """Streamed chunks concatenate to EXACTLY the per-window batch
+    output (same jitted fn, same rng stream, same crossfade)."""
+    from gesture_generation_from_trimodal_context_tpu.synthesis.engine \
+        import generate_gestures_stream
+    args, bundle, gen_vars, lang = _setup("multimodal_context.yml")
+    audio = np.random.RandomState(7).randn(16000 * 8).astype(np.float32)
+    words = _words(8.0)
+    rng = jax.random.PRNGKey(11)
+    seed = 0.2 * np.ones((4, 27), np.float32)
+    batch = generate_gestures(args, bundle, gen_vars, lang, audio, words,
+                              vid=1, seed_seq=seed, rng=rng, fused=False)
+    chunks = list(generate_gestures_stream(
+        args, bundle, gen_vars, lang, audio, words, vid=1, seed_seq=seed,
+        rng=rng))
+    assert len(chunks) == 4  # 8 s -> 4 windows, one chunk each
+    pos = 0
+    for start, c in chunks:
+        assert start == pos
+        pos += len(c)
+    assert [len(c) for _, c in chunks] == [30, 30, 30, 34]
+    np.testing.assert_array_equal(np.vstack([c for _, c in chunks]), batch)

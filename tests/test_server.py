@@ -74,7 +74,9 @@ def test_server_roundtrip(tiny_ckpt):
 
         # error path stays alive
         conn.request("POST", "/synthesize", body="not json")
-        assert conn.getresponse().status == 500
+        r = conn.getresponse()
+        r.read()  # keep-alive: drain before reusing the connection
+        assert r.status == 500
         conn.request("GET", "/healthz")
         assert json.loads(conn.getresponse().read())["status"] == "ok"
     finally:
@@ -106,8 +108,50 @@ def test_server_b64_seed_and_404(tiny_ckpt):
 
         # unknown paths 404 on both verbs
         conn.request("GET", "/nope")
-        assert conn.getresponse().status == 404
+        r = conn.getresponse()
+        r.read()
+        assert r.status == 404
         conn.request("POST", "/nope", body="{}")
-        assert conn.getresponse().status == 404
+        r = conn.getresponse()
+        r.read()
+        assert r.status == 404
+    finally:
+        server.shutdown()
+
+
+def test_server_streaming(tiny_ckpt):
+    server = srv.serve(tiny_ckpt, port=0, warmup=False)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        audio = (0.05 * np.random.RandomState(0)
+                 .randn(16000 * 8)).astype(np.float32).tolist()
+        body = json.dumps({"audio": audio,
+                           "words": [["w1", 0.5, 1.0], ["w2", 3.0, 3.5]],
+                           "vid": 1})
+        conn.request("POST", "/synthesize_stream", body=body,
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == "application/x-ndjson"
+        lines = [json.loads(ln) for ln in
+                 resp.read().decode().splitlines() if ln]
+        assert len(lines) == 4  # 8 s -> 4 windows
+        assert [ln["start_frame"] for ln in lines] == [0, 30, 60, 90]
+        assert [ln["frames"] for ln in lines] == [30, 30, 30, 34]
+        total = np.vstack([np.asarray(ln["out_dir_vec"]) for ln in lines])
+        assert total.shape == (124, 27) and np.isfinite(total).all()
+        assert np.asarray(lines[0]["out_poses"]).shape == (30, 10, 3)
+        assert lines[-1]["elapsed_ms"] >= lines[0]["elapsed_ms"]
+
+        # mid-parse failure before headers -> clean 500, server alive
+        conn.request("POST", "/synthesize_stream", body="not json")
+        r = conn.getresponse()
+        r.read()
+        assert r.status == 500
+        conn.request("GET", "/healthz")
+        assert json.loads(conn.getresponse().read())["status"] == "ok"
     finally:
         server.shutdown()
