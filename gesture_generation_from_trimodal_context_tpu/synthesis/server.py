@@ -118,6 +118,15 @@ def make_handler(service: SynthesisService):
                                  "model": service.bundle.model_name,
                                  "pose_dim": service.pose_dim,
                                  "warm": service._warm})
+            elif self.path in ("/", "/demo"):
+                from .demo_page import demo_html
+                body = demo_html(service.bundle.model_name).encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": "not found"})
 
@@ -127,6 +136,11 @@ def make_handler(service: SynthesisService):
             if "audio_b64" in req:
                 audio = np.frombuffer(
                     base64.b64decode(req["audio_b64"]), np.float32)
+            elif "silence_s" in req:
+                # words-only requests (e.g. the demo page): synthesize
+                # over silent audio of the given duration
+                audio = np.zeros(int(float(req["silence_s"]) * 16000),
+                                 np.float32)
             else:
                 audio = np.asarray(req["audio"], np.float32)
             words = [[w[0], float(w[1]), float(w[2])]

@@ -146,6 +146,19 @@ def test_server_streaming(tiny_ckpt):
         assert np.asarray(lines[0]["out_poses"]).shape == (30, 10, 3)
         assert lines[-1]["elapsed_ms"] >= lines[0]["elapsed_ms"]
 
+        # demo page + words-only (silence_s) request body
+        conn.request("GET", "/")
+        r = conn.getresponse()
+        page = r.read().decode()
+        assert r.status == 200 and "streaming demo" in page
+        assert "multimodal_context" in page
+        body = json.dumps({"silence_s": 1.0, "words": [["w1", 0.2, 0.5]],
+                           "vid": 1})
+        conn.request("POST", "/synthesize", body=body,
+                     headers={"Content-Type": "application/json"})
+        resp = json.loads(conn.getresponse().read())
+        assert resp["frames"] == 34
+
         # mid-parse failure before headers -> clean 500, server alive
         conn.request("POST", "/synthesize_stream", body="not json")
         r = conn.getresponse()
