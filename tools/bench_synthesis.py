@@ -22,11 +22,60 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def bench_chain(duration_s=9.0, repeats=3):
+    """End-to-end generate_gestures wall per clip: fused one-dispatch
+    scan vs the per-window host loop (both warm; the first call of each
+    path pays the compile / axon remote-load and is discarded)."""
+    import jax
+    import __graft_entry__ as ge
+    from gesture_generation_from_trimodal_context_tpu.models import factory
+    from gesture_generation_from_trimodal_context_tpu.synthesis.engine \
+        import generate_gestures
+
+    args, bundle, lang, spk = ge._flagship(
+        hidden_size=300, n_layers=4, n_words=20000, wordembed_dim=300,
+        n_speakers=1400)
+    args.mean_dir_vec = [0.0] * 27  # engine derives pose_dim from it
+    gvars = factory.generator_init_variables(bundle, args,
+                                             jax.random.PRNGKey(0), 1)
+    rs = np.random.RandomState(0)
+    audio = (0.1 * rs.randn(int(16000 * duration_s))).astype(np.float32)
+    words, t = [], 0.3
+    while t < duration_s - 0.5:
+        words.append(["w%d" % int(t * 10 % 50), t, t + 0.2])
+        t += 0.35
+    rng = jax.random.PRNGKey(7)
+
+    out = {}
+    for fused in (True, False):
+        name = "fused" if fused else "per-window"
+        generate_gestures(args, bundle, gvars, lang, audio, words, vid=3,
+                          rng=rng, fused=fused)  # warm/compile
+        ts = []
+        for _ in range(repeats):
+            t0 = time.time()
+            generate_gestures(args, bundle, gvars, lang, audio, words,
+                              vid=3, rng=rng, fused=fused)
+            ts.append(time.time() - t0)
+        out[name] = float(np.median(ts))
+        print("clip generation (%4.1f s clip) %-10s %6.2f s/clip"
+              % (duration_s, name, out[name]), flush=True)
+    print("fused speedup: %.2fx" % (out["per-window"] / out["fused"]))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--impls", nargs="*", default=["scan", "pallas"])
     ap.add_argument("--unroll", type=int, default=1)
+    ap.add_argument("--chain", action="store_true",
+                    help="bench end-to-end clip generation fused vs "
+                         "per-window instead of one window forward")
+    ap.add_argument("--duration", type=float, default=9.0)
     args_cli = ap.parse_args()
+
+    if args_cli.chain:
+        bench_chain(args_cli.duration)
+        return
 
     import jax
     import jax.numpy as jnp
