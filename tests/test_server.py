@@ -119,6 +119,46 @@ def test_server_b64_seed_and_404(tiny_ckpt):
         server.shutdown()
 
 
+def test_server_concurrent_requests(tiny_ckpt):
+    """Two simultaneous requests (one streaming, one batch) both
+    complete — the service lock serializes device use per request while
+    ThreadingHTTPServer handles the connections concurrently."""
+    server = srv.serve(tiny_ckpt, port=0, warmup=False)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    results = {}
+
+    def hit(name, path, n_sec):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        audio = np.zeros(16000 * n_sec, np.float32).tolist()
+        body = json.dumps({"audio": audio, "words": [["w1", 0.2, 0.6]],
+                           "vid": 1})
+        conn.request("POST", path, body=body,
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        data = r.read().decode()
+        if path == "/synthesize_stream":
+            frames = sum(json.loads(ln)["frames"]
+                         for ln in data.splitlines() if ln.strip())
+        else:
+            frames = json.loads(data)["frames"]
+        results[name] = (r.status, frames)
+
+    try:
+        threads = [threading.Thread(target=hit,
+                                    args=("a", "/synthesize_stream", 4)),
+                   threading.Thread(target=hit, args=("b", "/synthesize", 4))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        assert results["a"] == (200, 64)  # 4 s -> 2 windows -> 30+34
+        assert results["b"] == (200, 64)
+    finally:
+        server.shutdown()
+
+
 def test_server_streaming(tiny_ckpt):
     server = srv.serve(tiny_ckpt, port=0, warmup=False)
     port = server.server_address[1]
