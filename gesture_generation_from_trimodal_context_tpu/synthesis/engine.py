@@ -134,6 +134,61 @@ def _bucket(n):
     return 1 << max(0, (n - 1).bit_length())
 
 
+def _get_batched_fused_fn(bundle, args, n_windows, n_clips, impl):
+    """Fused window chain with a CLIP batch axis: C independent clips
+    (same padded window count) advance their seed carries in lockstep
+    through one scan.  The body `jax.vmap`s the single-clip window
+    forward over the clip axis with PER-CLIP rng keys, so each lane
+    computes exactly what its single-clip run would (vmap of the B=1
+    apply == stacked B=1 applies) while the per-step matmuls carry C
+    rows instead of 1 — the B=1 window forward badly underfills the
+    MXU (measured 0.25-0.30 ms ~ dispatch floor), so test-set-scale
+    generation throughput rises ~linearly in C until the MXU fills."""
+    cache = _fn_cache(bundle)
+    key = ("fused_batch", n_windows, n_clips, impl)
+    if key not in cache:
+        n_pre = args.n_pre_poses
+
+        def fused(gen_vars, extended, in_audio, in_spec, word_ids,
+                  word_lengths, init_tail, init_con, vid, rngs):
+            # window-major stacking: extended (W, C, T), audio (W, C, L),
+            # spec (W, C, M, S), word_ids (W, C, cap), word_lengths (W, C);
+            # init_tail (C, n_pre, D), init_con (C, n_pre), vid (C,),
+            # rngs (C,) PRNG keys
+            n_frames = extended.shape[-1]
+            pose_dim = init_tail.shape[-1]
+
+            def one_clip(tail, con, ext, aud, spec, wids, wlen, v, key):
+                pre_seq = jnp.zeros((1, n_frames, pose_dim + 1),
+                                    jnp.float32)
+                pre_seq = pre_seq.at[0, :n_pre, :-1].set(tail)
+                pre_seq = pre_seq.at[0, :n_pre, -1].set(con)
+                out = _apply_window(
+                    bundle, args, gen_vars, pre_seq, ext[None], aud[None],
+                    spec[None], wids[None], wlen[None], v[None], key)
+                return out[0]
+
+            def body(carry, xs):
+                tail, con = carry
+                i, ext, aud, spec, wids, wlen = xs
+                keys = jax.vmap(
+                    lambda k: jax.random.fold_in(k, i))(rngs)
+                out = jax.vmap(one_clip)(tail, con, ext, aud, spec, wids,
+                                         wlen, vid, keys)
+                new_carry = (out[:, -n_pre:],
+                             jnp.ones(out.shape[:1] + (n_pre,),
+                                      jnp.float32))
+                return new_carry, out
+
+            xs = (jnp.arange(n_windows, dtype=jnp.int32), extended,
+                  in_audio, in_spec, word_ids, word_lengths)
+            _, outs = jax.lax.scan(body, (init_tail, init_con), xs)
+            return outs  # (W, C, n_frames, pose_dim)
+
+        cache[key] = jax.jit(fused)
+    return cache[key]
+
+
 def _prepare_windows(args, bundle, lang_model, audio, words, audio_sr,
                      num_subdivision, unit_time, stride_time, clip_length,
                      audio_sample_length, spectrogram_sample_length,
@@ -357,13 +412,21 @@ def generate_gestures(args, bundle, gen_vars, lang_model, audio, words,
     logging.info("generation took %.2f s",
                  (time.time() - start) / num_subdivision)
 
+    return _finalize(args, bundle, raw_windows, p, fade_out, audio_sr)
+
+
+def _finalize(args, bundle, raw_windows, p, fade_out, audio_sr):
+    """Host post-passes shared by the single-clip and batched paths:
+    crossfade, seq2seq join smoothing, optional fade-out."""
+    num_subdivision, n_pre = p.num_subdivision, p.n_pre
+
     # crossfade the n_pre_poses overlap (reference synthesize.py:145-153);
     # identical math for both paths: the blend consumes the PREVIOUS
     # window's raw tail (the same frames that seed the next window), so
     # it can run after the whole chain
     out_list = []
-    for k, raw in enumerate(raw_windows):
-        out_seq = raw.copy()
+    for raw in raw_windows:
+        out_seq = np.array(raw, np.float32, copy=True)
         if out_list:
             last_poses = out_list[-1][-n_pre:]
             out_list[-1] = out_list[-1][:-n_pre]
@@ -394,7 +457,7 @@ def generate_gestures(args, bundle, gen_vars, lang_model, audio, words,
     if fade_out:
         n_smooth = args.n_pre_poses
         start_frame = len(out_dir_vec) - int(
-            end_padding_duration / audio_sr
+            p.end_padding_duration / audio_sr
             * args.motion_resampling_framerate)
         end_frame = start_frame + n_smooth * 2
         if len(out_dir_vec) < end_frame:
@@ -402,7 +465,7 @@ def generate_gestures(args, bundle, gen_vars, lang_model, audio, words,
                 out_dir_vec, [(0, end_frame - len(out_dir_vec)), (0, 0)],
                 mode="constant")
         out_dir_vec[end_frame - n_smooth:] = \
-            np.zeros(pose_dim)  # fade to mean pose
+            np.zeros(p.pose_dim)  # fade to mean pose
         y = out_dir_vec[start_frame:end_frame]
         x = np.arange(y.shape[0])
         w = np.ones(len(y))
@@ -414,6 +477,106 @@ def generate_gestures(args, bundle, gen_vars, lang_model, audio, words,
         out_dir_vec[start_frame:end_frame] = interpolated
 
     return out_dir_vec
+
+
+def generate_gestures_batch(args, bundle, gen_vars, lang_model, clips,
+                            audio_sr=16000, fade_out=False, mesh=None):
+    """Synthesize MANY independent clips per device dispatch.
+
+    `clips` is a list of dicts with keys `audio` and `words` (the
+    `generate_gestures` inputs) plus optional `vid`, `seed_seq`, `rng`.
+    Returns the per-clip `out_dir_vec` arrays in input order — each
+    equal to that clip's own `generate_gestures(..., fused=True)` run
+    (per-clip rng streams are preserved through per-lane `fold_in`;
+    pinned in tests/test_batch_synthesis.py).
+
+    TPU design: clips group by their padded window bucket and each
+    group runs as ONE scan whose per-step forward carries a clip batch
+    axis (see _get_batched_fused_fn).  Clip counts pad to power-of-two
+    buckets too (repeating the last clip; padded lanes are discarded),
+    so a test-set sweep compiles O(log W * log C) programs total.  The
+    GRU impl is pinned to the XLA scan here: Pallas' measured win is
+    the B=1 dispatch-bound forward (RESULTS.md), and batched windows
+    are exactly the MXU-bound regime where the scan is the production
+    path.
+
+    Multi-chip: pass a 1-D data `mesh` (parallel/mesh.get_mesh) and the
+    CLIP axis shards over it — clips are fully independent, so the
+    scan partitions along C with zero cross-device collectives (each
+    chip runs its own clips' window chains; the only sync is the final
+    host gather).  Clip counts pad up to a mesh-size multiple; lanes
+    are discarded like single-device padding.  Equivalence on an
+    8-virtual-device CPU mesh is pinned in tests/test_batch_synthesis.py."""
+    from ..ops.recurrent import set_gru_impl
+    from ..parallel import mesh as mesh_lib
+
+    plans = []
+    for clip in clips:
+        plans.append(_make_plan(
+            args, bundle, lang_model, clip["audio"], clip["words"],
+            audio_sr, clip.get("vid"), clip.get("seed_seq"),
+            clip.get("rng")))
+    set_gru_impl("scan")
+
+    n_dev = mesh_lib.data_parallel_size(mesh)
+    if n_dev > 1:
+        # params replicated once per call; clip-axis shardings below
+        gen_vars = mesh_lib.replicate(gen_vars, mesh)
+        clip_sh = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(mesh_lib.DATA_AXIS))
+        wmajor_sh = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, mesh_lib.DATA_AXIS))
+    else:
+        clip_sh = wmajor_sh = None
+
+    def dev(x, sharding):
+        x = jnp.asarray(x)
+        return jax.device_put(x, sharding) if sharding is not None else x
+
+    groups = {}
+    for idx, p in enumerate(plans):
+        groups.setdefault(_bucket(p.num_subdivision), []).append(idx)
+
+    results = [None] * len(plans)
+    for n_pad, idxs in sorted(groups.items()):
+        c_pad = _bucket(len(idxs))
+        # mesh-size multiple so the clip shard is even (power-of-two
+        # meshes — the TPU case — already divide any c_pad >= n_dev)
+        c_pad = max(c_pad, n_dev)
+        c_pad += (-c_pad) % n_dev
+        sel = idxs + [idxs[-1]] * (c_pad - len(idxs))
+
+        def stack(field):
+            # (W, C, ...) window-major so the scan slices a (C, ...)
+            # block per step; pad each clip's windows like the
+            # single-clip fused path (repeat the last real window)
+            cols = []
+            for i in sel:
+                a = getattr(plans[i], field)
+                reps = n_pad - a.shape[0]
+                if reps:
+                    a = np.concatenate([a, np.repeat(a[-1:], reps, 0)])
+                cols.append(a)
+            return dev(np.stack(cols, 1), wmajor_sh)
+
+        vid = dev(np.stack(
+            [plans[i].vid_arr[0] for i in sel]).astype(np.int32), clip_sh)
+        rngs = dev(jnp.stack([plans[i].rng for i in sel]), clip_sh)
+        init_tail = dev(np.stack(
+            [plans[i].init_tail for i in sel]), clip_sh)
+        init_con = dev(np.stack([plans[i].init_con for i in sel]), clip_sh)
+
+        fn = _get_batched_fused_fn(bundle, args, n_pad, c_pad, "scan")
+        outs = np.asarray(fn(
+            gen_vars, stack("ext_all"), stack("aud_all"),
+            stack("spec_all"), stack("wid_all"), stack("wlen_all"),
+            init_tail, init_con, vid, rngs))
+        for ci, i in enumerate(idxs):
+            p = plans[i]
+            raw = [outs[w, ci] for w in range(p.num_subdivision)]
+            results[i] = _finalize(args, bundle, raw, p, fade_out,
+                                   audio_sr)
+    return results
 
 
 def generate_gestures_stream(args, bundle, gen_vars, lang_model, audio,

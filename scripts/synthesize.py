@@ -27,7 +27,7 @@ from gesture_generation_from_trimodal_context_tpu.ops import skeleton
 from gesture_generation_from_trimodal_context_tpu.ops.text import remove_tags_marks
 from gesture_generation_from_trimodal_context_tpu.parallel import mesh as mesh_lib
 from gesture_generation_from_trimodal_context_tpu.synthesis.engine import (
-    generate_gestures)
+    generate_gestures, generate_gestures_batch)
 from gesture_generation_from_trimodal_context_tpu.synthesis.tts import (
     TTSHelper, align_words, load_wav_16k)
 from gesture_generation_from_trimodal_context_tpu.train import checkpoint as ckpt_lib
@@ -215,12 +215,15 @@ def main(mode, checkpoint_path, option, data_base="data/ted_dataset",
         random.seed()
         n_generations = int(option) if option else 5
 
-        n_saved = 0
+        # phase 1: draw clips that satisfy the duration filter
+        # (reference synthesize.py:303-330 draws and generates one at a
+        # time; the draw semantics are unchanged here)
+        selected = []
         store = open_raw_store(test_data_path)
         keys = store.keys()
         attempts = 0
         max_attempts = max(50, 10 * len(keys))
-        while n_saved < n_generations:
+        while len(selected) < n_generations:
             attempts += 1
             if attempts > max_attempts:
                 # beyond-reference guard: the reference loops forever when
@@ -260,13 +263,49 @@ def main(mode, checkpoint_path, option, data_base="data/ted_dataset",
             vid_idx = random.sample(range(speaker_model.n_words), 1)[0] \
                 if speaker_model is not None and hasattr(speaker_model,
                                                          "n_words") else None
-            out_dir_vec = generate_gestures(
-                args, bundle, gen_vars, lang_model, clip_audio, clip_words,
-                vid=vid_idx,
-                seed_seq=target_dir_vec[0:args.n_pre_poses],
-                fade_out=False)
+            selected.append(dict(
+                vid=vid, vid_idx=vid_idx, audio=clip_audio,
+                words=clip_words, time=clip_time,
+                target_dir_vec=target_dir_vec))
+        store.close()
 
-            sentence = " ".join(w[0] for w in clip_words)
+        # phase 2: generate — batched across clips by default (one fused
+        # scan per window/clip bucket, synthesis/engine.py
+        # generate_gestures_batch); GG_BATCH_SYNTH=0 or GG_FUSED_SYNTH=0
+        # falls back to per-clip generation
+        env_batch = os.environ.get("GG_BATCH_SYNTH", "1").lower()
+        env_fused = os.environ.get("GG_FUSED_SYNTH", "1").lower()
+        use_batch = (len(selected) > 1
+                     and env_batch not in ("0", "false", "no")
+                     and env_fused not in ("0", "false", "no"))
+        if use_batch:
+            # clip-parallel over the device mesh when >1 chip is attached
+            # (clips are independent: zero-collective data parallelism;
+            # GG_SYNTH_DP=0 keeps it single-device)
+            env_dp = os.environ.get("GG_SYNTH_DP", "1").lower()
+            synth_mesh = None
+            if (jax.device_count() > 1
+                    and env_dp not in ("0", "false", "no")):
+                synth_mesh = mesh_lib.get_mesh()
+            outs = generate_gestures_batch(
+                args, bundle, gen_vars, lang_model,
+                [dict(audio=s["audio"], words=s["words"], vid=s["vid_idx"],
+                      seed_seq=s["target_dir_vec"][0:args.n_pre_poses])
+                 for s in selected],
+                mesh=synth_mesh)
+        else:
+            outs = [generate_gestures(
+                args, bundle, gen_vars, lang_model, s["audio"], s["words"],
+                vid=s["vid_idx"],
+                seed_seq=s["target_dir_vec"][0:args.n_pre_poses],
+                fade_out=False) for s in selected]
+
+        # phase 3: artifacts (identical to the reference's per-clip set)
+        for n_saved, (s, out_dir_vec) in enumerate(zip(selected, outs)):
+            vid, vid_idx = s["vid"], s["vid_idx"]
+            clip_audio, clip_time = s["audio"], s["time"]
+            target_dir_vec = s["target_dir_vec"]
+            sentence = " ".join(w[0] for w in s["words"])
             os.makedirs(save_path, exist_ok=True)
             filename_prefix = "{}_{}_{}".format(vid, vid_idx, n_saved)
             aux_str = "({}, time: {}-{})".format(
@@ -290,8 +329,6 @@ def main(mode, checkpoint_path, option, data_base="data/ted_dataset",
             with open(os.path.join(save_path, filename_prefix + ".pkl"),
                       "wb") as f:
                 pickle.dump(save_dict, f)
-            n_saved += 1
-        store.close()
     else:
         raise SystemExit("wrong mode (expected eval|from_db_clip|from_text)")
 

@@ -63,6 +63,56 @@ def bench_chain(duration_s=9.0, repeats=3):
     print("fused speedup: %.2fx" % (out["per-window"] / out["fused"]))
 
 
+def bench_batch(duration_s=9.0, n_clips=8, repeats=3):
+    """Test-set-scale generation throughput: N clips through ONE
+    batched fused scan (generate_gestures_batch) vs N sequential fused
+    single-clip calls.  Both warm; clips/s is the figure of merit."""
+    import jax
+    import __graft_entry__ as ge
+    from gesture_generation_from_trimodal_context_tpu.models import factory
+    from gesture_generation_from_trimodal_context_tpu.synthesis.engine \
+        import generate_gestures, generate_gestures_batch
+
+    args, bundle, lang, spk = ge._flagship(
+        hidden_size=300, n_layers=4, n_words=20000, wordembed_dim=300,
+        n_speakers=1400)
+    args.mean_dir_vec = [0.0] * 27
+    gvars = factory.generator_init_variables(bundle, args,
+                                             jax.random.PRNGKey(0), 1)
+    rs = np.random.RandomState(0)
+    clips = []
+    for c in range(n_clips):
+        audio = (0.1 * rs.randn(int(16000 * duration_s))).astype(np.float32)
+        words, t = [], 0.3
+        while t < duration_s - 0.5:
+            words.append(["w%d" % int(t * 10 % 50), t, t + 0.2])
+            t += 0.35
+        clips.append(dict(audio=audio, words=words, vid=(c % 5),
+                          rng=jax.random.PRNGKey(100 + c)))
+
+    def run_seq():
+        return [generate_gestures(args, bundle, gvars, lang, c["audio"],
+                                  c["words"], vid=c["vid"], rng=c["rng"],
+                                  fused=True) for c in clips]
+
+    def run_batch():
+        return generate_gestures_batch(args, bundle, gvars, lang, clips)
+
+    out = {}
+    for name, fn in (("sequential", run_seq), ("batched", run_batch)):
+        fn()  # warm/compile
+        ts = []
+        for _ in range(repeats):
+            t0 = time.time()
+            fn()
+            ts.append(time.time() - t0)
+        dt = float(np.median(ts))
+        out[name] = dt
+        print("%d clips (%4.1f s each) %-10s %6.2f s  (%.2f clips/s)"
+              % (n_clips, duration_s, name, dt, n_clips / dt), flush=True)
+    print("batch speedup: %.2fx" % (out["sequential"] / out["batched"]))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--impls", nargs="*", default=["scan", "pallas"])
@@ -70,9 +120,15 @@ def main():
     ap.add_argument("--chain", action="store_true",
                     help="bench end-to-end clip generation fused vs "
                          "per-window instead of one window forward")
+    ap.add_argument("--batch", type=int, default=0, metavar="N",
+                    help="bench N-clip batched generation vs N "
+                         "sequential fused clips")
     ap.add_argument("--duration", type=float, default=9.0)
     args_cli = ap.parse_args()
 
+    if args_cli.batch:
+        bench_batch(args_cli.duration, args_cli.batch)
+        return
     if args_cli.chain:
         bench_chain(args_cli.duration)
         return
