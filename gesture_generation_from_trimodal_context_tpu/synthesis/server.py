@@ -3,7 +3,11 @@
 Serving counterpart to the batch CLI (beyond the reference, which only
 ships offline scripts — SURVEY.md §1.7).  The model is loaded and the
 per-window function compiled once at startup; requests then run at
-steady-state latency.
+steady-state latency.  Concurrent /synthesize requests are DYNAMICALLY
+BATCHED (DynamicBatcher): requests arriving within a short window run
+as one batched device dispatch whose fused window scan carries a clip
+batch axis, multiplying serving throughput under load (2.3x at 8
+concurrent clips on one chip, RESULTS.md).
 
 Endpoints (JSON over stdlib http.server, no extra deps):
 - GET  /healthz            -> {"status": "ok", "model": ..., "pose_dim": N}
@@ -25,6 +29,8 @@ Endpoints (JSON over stdlib http.server, no extra deps):
 import base64
 import json
 import logging
+import os
+import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -34,7 +40,8 @@ import jax
 
 from ..ops import skeleton
 from ..train import checkpoint as ckpt_lib
-from .engine import generate_gestures, generate_gestures_stream
+from .engine import (generate_gestures, generate_gestures_batch,
+                     generate_gestures_stream)
 
 
 class SynthesisService:
@@ -79,6 +86,25 @@ class SynthesisService:
         poses = skeleton.convert_dir_vec_to_pose_np(out)
         return dir_vec, poses, latency
 
+    def generate_many(self, requests):
+        """One batched device dispatch for MANY queued requests
+        (engine.generate_gestures_batch: the fused window scan carries a
+        clip batch axis, so N concurrent clips cost ~one clip's chain).
+        `requests` is a list of dicts with audio/words/vid/seed_seq/rng;
+        returns [(dir_vec, poses, latency_ms_of_the_batch), ...]."""
+        with self._lock:
+            t0 = time.time()
+            outs = generate_gestures_batch(
+                self.args, self.bundle, self.gen_vars, self.lang_model,
+                requests)
+            latency = (time.time() - t0) * 1000.0
+        results = []
+        for dir_vec in outs:
+            poses = skeleton.convert_dir_vec_to_pose_np(
+                dir_vec + self.mean_dir_vec)
+            results.append((dir_vec, poses, latency))
+        return results
+
     def generate_stream(self, audio, words, vid=None, seed_seq=None):
         """Yield (start_frame, dir_vec_chunk, poses_chunk, elapsed_ms)
         as windows finalize (engine.generate_gestures_stream)."""
@@ -95,7 +121,86 @@ class SynthesisService:
                 yield start, chunk, poses, (time.time() - t0) * 1000.0
 
 
-def make_handler(service: SynthesisService):
+class DynamicBatcher:
+    """Coalesce concurrent /synthesize requests into ONE batched device
+    dispatch (production dynamic batching).
+
+    A lone request waits at most `window_ms` for company, then runs on
+    the already-warm single-clip program (no extra compile, no batching
+    overhead).  When >=2 requests arrive inside the window they run as
+    one `generate_gestures_batch` call — the fused window scan carries
+    a clip batch axis, so N concurrent clips cost about one clip's
+    chain instead of N (measured in tools/bench_synthesis.py --batch).
+    Batched (window-bucket, clip-bucket) programs compile once on first
+    use and persist in the compile cache across restarts."""
+
+    def __init__(self, service, window_ms=15.0, max_batch=16):
+        self.service = service
+        self.window_s = window_ms / 1000.0
+        self.max_batch = max_batch
+        self.queue = queue.Queue()
+        self.stats = {"batched_calls": 0, "largest_batch": 0,
+                      "single_calls": 0}
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="synth-batcher")
+        self._thread.start()
+
+    def submit(self, audio, words, vid=None, seed_seq=None):
+        """Enqueue one request; blocks until its result is ready.
+        Returns (dir_vec, poses, latency_ms) like service.generate."""
+        item = {
+            "audio": np.asarray(audio, np.float32), "words": words,
+            "vid": vid, "seed_seq": seed_seq,
+            "rng": jax.random.PRNGKey(time.time_ns() % (2 ** 31 - 1)),
+            "event": threading.Event(), "result": None, "error": None,
+        }
+        self.queue.put(item)
+        item["event"].wait()
+        if item["error"] is not None:
+            raise item["error"]
+        return item["result"]
+
+    def _run(self):
+        while True:
+            first = self.queue.get()
+            batch = [first]
+            deadline = time.time() + self.window_s
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self.queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                if len(batch) == 1:
+                    it = batch[0]
+                    it["result"] = self.service.generate(
+                        it["audio"], it["words"], vid=it["vid"],
+                        seed_seq=it["seed_seq"])
+                    self.stats["single_calls"] += 1
+                else:
+                    results = self.service.generate_many(
+                        [{k: it[k] for k in
+                          ("audio", "words", "vid", "seed_seq", "rng")}
+                         for it in batch])
+                    for it, res in zip(batch, results):
+                        it["result"] = res
+                    self.stats["batched_calls"] += 1
+                    self.stats["largest_batch"] = max(
+                        self.stats["largest_batch"], len(batch))
+            except Exception as e:  # noqa: BLE001 — report to all waiters
+                logging.exception("batched synthesis failed (%d reqs)",
+                                  len(batch))
+                for it in batch:
+                    it["error"] = e
+            finally:
+                for it in batch:
+                    it["event"].set()
+
+
+def make_handler(service: SynthesisService, batcher: DynamicBatcher = None):
     class Handler(BaseHTTPRequestHandler):
         # chunked transfer (the streaming endpoint) requires HTTP/1.1;
         # the JSON endpoints all send Content-Length
@@ -114,10 +219,13 @@ def make_handler(service: SynthesisService):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._json(200, {"status": "ok",
-                                 "model": service.bundle.model_name,
-                                 "pose_dim": service.pose_dim,
-                                 "warm": service._warm})
+                payload = {"status": "ok",
+                           "model": service.bundle.model_name,
+                           "pose_dim": service.pose_dim,
+                           "warm": service._warm}
+                if batcher is not None:
+                    payload["batching"] = dict(batcher.stats)
+                self._json(200, payload)
             elif self.path in ("/", "/demo"):
                 from .demo_page import demo_html
                 body = demo_html(service.bundle.model_name).encode()
@@ -194,8 +302,12 @@ def make_handler(service: SynthesisService):
                 return
             try:
                 req, audio, words, seed = self._parse_request()
-                dir_vec, poses, latency = service.generate(
-                    audio, words, vid=req.get("vid"), seed_seq=seed)
+                if batcher is not None:
+                    dir_vec, poses, latency = batcher.submit(
+                        audio, words, vid=req.get("vid"), seed_seq=seed)
+                else:
+                    dir_vec, poses, latency = service.generate(
+                        audio, words, vid=req.get("vid"), seed_seq=seed)
                 payload = {
                     "frames": int(dir_vec.shape[0]),
                     "latency_ms": round(latency, 2),
@@ -220,14 +332,27 @@ def make_handler(service: SynthesisService):
 
 
 def serve(checkpoint_path, host="127.0.0.1", port=8765, warmup=True,
-          warmup_buckets=(1,)):
+          warmup_buckets=(1,), batch_window_ms=15.0, max_batch=16):
+    """batch_window_ms > 0 enables dynamic batching on /synthesize
+    (GG_SERVE_BATCH_MS env overrides; 0 disables): concurrent requests
+    coalesce into one batched dispatch, lone requests pay at most the
+    window before running on the single-clip program."""
     service = SynthesisService(checkpoint_path)
     if warmup:
         logging.info("warming up (compiling window-chain buckets %s)...",
                      warmup_buckets)
         service.warmup(warmup_buckets)
-    server = ThreadingHTTPServer((host, port), make_handler(service))
-    logging.info("serving %s on http://%s:%d", checkpoint_path, host, port)
+    env_ms = os.environ.get("GG_SERVE_BATCH_MS")
+    if env_ms is not None:
+        batch_window_ms = float(env_ms)
+    batcher = (DynamicBatcher(service, batch_window_ms, max_batch)
+               if batch_window_ms > 0 else None)
+    server = ThreadingHTTPServer((host, port),
+                                 make_handler(service, batcher))
+    logging.info("serving %s on http://%s:%d (dynamic batching: %s)",
+                 checkpoint_path, host, port,
+                 "%.0f ms window, max %d" % (batch_window_ms, max_batch)
+                 if batcher else "off")
     return server
 
 

@@ -159,6 +159,53 @@ def test_server_concurrent_requests(tiny_ckpt):
         server.shutdown()
 
 
+def test_server_dynamic_batching(tiny_ckpt):
+    """Concurrent /synthesize requests coalesce into ONE batched device
+    dispatch (DynamicBatcher + engine.generate_gestures_batch): all
+    succeed with per-request outputs, and healthz reports the batch."""
+    server = srv.serve(tiny_ckpt, port=0, warmup=False,
+                       batch_window_ms=300.0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    results = {}
+
+    def hit(i):
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        audio = (0.05 * np.random.RandomState(i)
+                 .randn(16000 * 4)).astype(np.float32)
+        body = json.dumps({"audio": audio.tolist(),
+                           "words": [["w%d" % i, 0.2, 0.6]], "vid": 1})
+        conn.request("POST", "/synthesize", body=body,
+                     headers={"Content-Type": "application/json"})
+        r = conn.getresponse()
+        results[i] = (r.status, json.loads(r.read()))
+
+    try:
+        threads = [threading.Thread(target=hit, args=(i,))
+                   for i in range(3)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        outs = []
+        for i in range(3):
+            status, resp = results[i]
+            assert status == 200
+            out = np.asarray(resp["out_dir_vec"])
+            assert out.shape == (64, 27) and np.isfinite(out).all()
+            outs.append(out)
+        # distinct audio -> distinct gestures (no cross-lane mixing)
+        assert not np.allclose(outs[0], outs[1])
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["batching"]["batched_calls"] >= 1
+        assert health["batching"]["largest_batch"] >= 2
+    finally:
+        server.shutdown()
+
+
 def test_server_streaming(tiny_ckpt):
     server = srv.serve(tiny_ckpt, port=0, warmup=False)
     port = server.server_address[1]
