@@ -33,23 +33,30 @@ import numpy as np
 def _gen_video(task):
     """Worker: build one video's clip list (runs in a subprocess)."""
     from gesture_generation_from_trimodal_context_tpu.data import synthetic
-    v, clips_per_video, clip_duration_s, fps, seed = task
+    v, clips_per_video, clip_duration_s, fps, seed, style_name = task
     rng = np.random.RandomState(seed)
+    style = synthetic.speaker_style(seed) if style_name == "hard" else None
     clips = []
     t0 = 0.0
     for c in range(clips_per_video):
-        clips.append(synthetic.synthetic_clip(
-            clip_duration_s, fps, rng, start_time=t0,
-            start_frame=int(t0 * fps), phase=v * 2.1 + c * 0.7))
+        if style is not None:
+            clips.append(synthetic.hard_clip(
+                clip_duration_s, fps, rng, style, start_time=t0,
+                start_frame=int(t0 * fps)))
+        else:
+            clips.append(synthetic.synthetic_clip(
+                clip_duration_s, fps, rng, start_time=t0,
+                start_frame=int(t0 * fps), phase=v * 2.1 + c * 0.7))
         t0 += clip_duration_s + 1.0
     return v, {"vid": "video_%05d" % v, "clips": clips}
 
 
 def make_store(path, n_videos, clips_per_video, clip_duration_s, fps, seed,
-               workers):
+               workers, style="hard"):
     from gesture_generation_from_trimodal_context_tpu.data.storage import (
         GGRawStoreWriter)
-    tasks = [(v, clips_per_video, clip_duration_s, fps, seed * 100003 + v)
+    tasks = [(v, clips_per_video, clip_duration_s, fps, seed * 100003 + v,
+              style)
              for v in range(n_videos)]
     with GGRawStoreWriter(path) as w:
         if workers <= 1 or n_videos < 8:
@@ -84,6 +91,12 @@ def main():
     ap.add_argument("--h36m_frames", type=int, default=300,
                     help="frames per H3.6M action (x14 actions)")
     ap.add_argument("--workers", type=int, default=os.cpu_count() or 1)
+    ap.add_argument("--style", choices=("easy", "hard"), default="hard",
+                    help="'hard' (default): speaker-conditioned style "
+                         "mixtures + OU/regime temporal noise + audio/"
+                         "text-coupled beats, so FGD stays discriminative "
+                         "over a full training run (VERDICT r3 item 3); "
+                         "'easy': the round-2 phase-shifted sinusoids")
     args = ap.parse_args()
 
     from gesture_generation_from_trimodal_context_tpu.data import synthetic
@@ -98,10 +111,10 @@ def main():
     for split, n, seed in (("train", args.videos, 1),
                            ("val", n_val, 2), ("test", n_test, 3)):
         path = os.path.join(ted, "lmdb_" + split)
-        print("building %s: %d videos x %d clips x %.0fs"
-              % (path, n, args.clips, args.dur), flush=True)
+        print("building %s: %d videos x %d clips x %.0fs (%s style)"
+              % (path, n, args.clips, args.dur, args.style), flush=True)
         make_store(path, n, args.clips, args.dur, args.fps, seed,
-                   args.workers)
+                   args.workers, style=args.style)
 
     npz = os.path.join(base, "h36m", "data_3d_h36m.npz")
     print("building %s" % npz, flush=True)
