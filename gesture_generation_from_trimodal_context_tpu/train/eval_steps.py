@@ -111,7 +111,7 @@ def make_eval_step(bundle, args, mean_dir_vec):
 
 
 def make_fused_eval_pass(bundle, args, mean_dir_vec, audio_len=None,
-                         use_vids=False, embed_apply=None):
+                         use_vids=False, embed_apply=None, mesh=None):
     """The whole resident-data validation pass as ONE jitted program.
 
     fn(gen_vars, embed_vars, data, idx_stack, vids_stack, mask_stack,
@@ -132,17 +132,35 @@ def make_fused_eval_pass(bundle, args, mean_dir_vec, audio_len=None,
 
     Replaces the reference's per-batch host loop
     (reference train.py:234-329) with an in-HBM gather + scan; single
-    host dispatch per validation pass."""
+    host dispatch per validation pass.
+
+    With a >1-device 'data' mesh (VERDICT r3 item 5) the in-scan gather
+    is shard_map'd over the round-robin resident shards — each device
+    gathers its LOCAL index block (idx rows use the same local layout as
+    ResidentBatchIterator: device d's block at columns [d*B/dp,
+    (d+1)*B/dp)) — while the eval math stays under plain jit semantics,
+    so rng draws, batch means, and FGD features are computed on the
+    GLOBAL batch exactly like the per-batch eval_step path on the same
+    mesh."""
     from . import resident
 
     body = make_eval_body(bundle, args, mean_dir_vec)
+    dp = resident.mesh_dp(mesh)
+    if dp > 1:
+        from jax.sharding import PartitionSpec as P
+        gather = resident._shard_map(
+            lambda d, i: resident.gather_batch(d, i, audio_len),
+            mesh, in_specs=(P(resident.DATA_AXIS), P(resident.DATA_AXIS)),
+            out_specs=P(resident.DATA_AXIS))
+    else:
+        gather = lambda d, i: resident.gather_batch(d, i, audio_len)
 
     @jax.jit
     def eval_pass(gen_vars, embed_vars, data, idx_stack, vids_stack,
                   mask_stack, root_rng):
         def scan_body(_, xs):
             idx, vids, mask, k = xs
-            batch = resident.gather_batch(data, idx, audio_len)
+            batch = gather(data, idx)
             rng = jax.random.fold_in(root_rng, 777_000 + k)
             loss, out, mae, accel = body(
                 batch=batch, gen_vars=gen_vars,

@@ -602,7 +602,12 @@ def make_gan_multi_step_shardmap(bundle, args, mesh, n_steps):
     Batches are stacked on a leading n_steps axis and sharded on the
     batch axis (in_spec P(None, 'data')), the same layout the jit fused
     path uses; the diversity regularizer's speaker permutations are
-    computed GLOBALLY per step before sharding, like sm_step."""
+    computed GLOBALLY per step before sharding, like sm_step.
+
+    n_steps is taken from the stacked batch shape at trace time (the
+    argument is kept for signature compatibility and may be None), so
+    the resident path's remainder groups respecialize like the jit
+    path."""
     try:
         from jax import shard_map  # jax >= 0.8
     except ImportError:
@@ -632,19 +637,20 @@ def make_gan_multi_step_shardmap(bundle, args, mesh, n_steps):
             d = d.replace(batch_stats=pmean_tree(d.batch_stats))
             return (g, d), m
 
+        ks = jnp.arange(jax.tree_util.tree_leaves(batches)[0].shape[0])
         (gen_state, dis_state), metrics = jax.lax.scan(
-            scan_body, (gen_state, dis_state),
-            (batches, jnp.arange(n_steps)))
+            scan_body, (gen_state, dis_state), (batches, ks))
         metrics = pmean_tree(metrics)
         return gen_state, dis_state, metrics
 
     @partial(jax.jit, static_argnames=("train_d", "add_gan"),
              donate_argnames=("gen_state", "dis_state"))
     def multi_step(gen_state, dis_state, batches, rng, train_d, add_gan):
+        k_steps = jax.tree_util.tree_leaves(batches)[0].shape[0]
         if z_type == "speaker" and "rand_vids" not in batches:
             # global per-step permutations, computed before sharding
             keys = jax.vmap(jax.random.fold_in, (None, 0))(
-                jax.random.fold_in(rng, 999), jnp.arange(n_steps))
+                jax.random.fold_in(rng, 999), jnp.arange(k_steps))
             batches = dict(batches, rand_vids=jax.vmap(
                 jax.random.permutation)(keys, batches["vid_indices"]))
         kwargs = dict(mesh=mesh,
@@ -659,6 +665,37 @@ def make_gan_multi_step_shardmap(bundle, args, mesh, n_steps):
         return fn(gen_state, dis_state, batches, rng)
 
     return multi_step, gen_tx, dis_tx
+
+
+def make_gan_resident_multi_step_shardmap(bundle, args, mesh):
+    """--device_resident_data x dp_strategy=shard_map for the flagship
+    model (VERDICT r3 item 6): each steps_per_call group runs as TWO
+    device programs, exactly like the jit resident path — the mesh-aware
+    in-HBM gather (its own program: a scan's large loop-invariant inputs
+    would be copied into HBM temps, see make_gan_resident_multi_step),
+    then the DataParallel-faithful fused multi-step
+    (make_gan_multi_step_shardmap: per-shard BN/dropout, pmean'd grads,
+    GLOBAL per-step speaker permutations like the reference's
+    pre-scatter permute, train_gan.py:62-63).
+
+    The caller passes the same (K, B) LOCAL-layout index stacks the jit
+    resident path builds (train/loops.py: per-device permutations over
+    each round-robin residue class, concatenated on the batch axis)."""
+    from ..ops import audio as audio_ops
+    from .resident import make_gather_stack
+    audio_len = audio_ops.calc_audio_length_from_motion_length(
+        args.n_poses, args.motion_resampling_framerate)
+    gather_stack = make_gather_stack(audio_len, mesh)
+    multi, gen_tx, dis_tx = make_gan_multi_step_shardmap(bundle, args,
+                                                         mesh, None)
+
+    def resident_multi_step(gen_state, dis_state, data, idx_stack, rng,
+                            train_d, add_gan):
+        batches = gather_stack(data, jnp.asarray(idx_stack))
+        return multi(gen_state, dis_state, batches, rng, train_d=train_d,
+                     add_gan=add_gan)
+
+    return resident_multi_step, gen_tx, dis_tx
 
 
 def make_gan_resident_multi_step(bundle, args, n_steps, mesh=None):

@@ -253,9 +253,13 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
     elif model in ("joint_embedding", "gesture_autoencoder"):
         mode = "random" if model == "joint_embedding" else None
         if use_shard_map:
-            from .embed import make_embed_train_step_shardmap
+            from .embed import (make_embed_multi_step_shardmap,
+                                make_embed_train_step_shardmap)
             step_fn, gen_tx = make_embed_train_step_shardmap(
                 bundle, args, mesh, mode=mode)
+            if steps_per_call > 1:
+                multi_step_fn, _ = make_embed_multi_step_shardmap(
+                    bundle, args, mesh, steps_per_call, mode=mode)
         else:
             step_fn, gen_tx = make_embed_train_step(bundle, args, mode=mode)
             if steps_per_call > 1:
@@ -264,9 +268,13 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
         gen_state = make_net_state(gvars, gen_tx)
     elif model == "seq2seq":
         if use_shard_map:
-            from .seq2seq_step import make_seq2seq_train_step_shardmap
+            from .seq2seq_step import (make_seq2seq_multi_step_shardmap,
+                                       make_seq2seq_train_step_shardmap)
             step_fn, gen_tx = make_seq2seq_train_step_shardmap(
                 bundle, args, mesh)
+            if steps_per_call > 1:
+                multi_step_fn, _ = make_seq2seq_multi_step_shardmap(
+                    bundle, args, mesh, steps_per_call)
         else:
             step_fn, gen_tx = make_seq2seq_train_step(bundle, args)
             if steps_per_call > 1:
@@ -275,9 +283,13 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
         gen_state = make_net_state(gvars, gen_tx)
     elif model == "speech2gesture":
         if use_shard_map:
-            from .s2g import make_s2g_train_step_shardmap
+            from .s2g import (make_s2g_multi_step_shardmap,
+                              make_s2g_train_step_shardmap)
             step_fn, gen_tx, dis_tx = make_s2g_train_step_shardmap(
                 bundle, args, mesh)
+            if steps_per_call > 1:
+                multi_step_fn, _, _ = make_s2g_multi_step_shardmap(
+                    bundle, args, mesh, steps_per_call)
         else:
             step_fn, gen_tx, dis_tx = make_s2g_train_step(bundle, args)
             if steps_per_call > 1:
@@ -287,11 +299,6 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
         dis_state = make_net_state(dvars, dis_tx)
     else:
         raise ValueError(model)
-    if steps_per_call > 1 and use_shard_map and \
-            model != "multimodal_context":
-        logging.warning("steps_per_call fusion under shard_map exists for "
-                        "multimodal_context only; running %s shard_map "
-                        "steps one at a time", model)
 
     eval_step = make_eval_step(bundle, args,
                                np.array(args.mean_dir_vec).squeeze())
@@ -302,9 +309,9 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
     fused_eval = None  # set in resident mode (make_fused_eval_pass)
     video_loader = test_loader  # sample videos keep the host loader
     if getattr(args, "device_resident_data", False):
-        if use_shard_map or tp_devices > 1:
+        if tp_devices > 1:
             raise ValueError("--device_resident_data requires "
-                             "dp_strategy=jit and tp_devices=1")
+                             "tp_devices=1")
         from . import resident
         res_fields = resident.MODEL_FIELDS[model]
         res_dp = resident.mesh_dp(mesh)
@@ -331,11 +338,14 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
             audio_len=val_audio_len, mesh=mesh,
             include_tail=getattr(args, "eval_full_set", False))
 
-        # --fused_eval_pass (default on, single-device data mesh): the
-        # whole val pass — gathers, eval forwards, FGD embedding — runs
-        # as ONE jitted scan instead of ~3 dispatches per batch over the
-        # device tunnel (train/eval_steps.make_fused_eval_pass)
-        if res_dp == 1 and getattr(args, "fused_eval_pass", True):
+        # --fused_eval_pass (default on): the whole val pass — gathers,
+        # eval forwards, FGD embedding — runs as ONE jitted scan instead
+        # of ~3 dispatches per batch over the device tunnel
+        # (train/eval_steps.make_fused_eval_pass).  On a >1-device data
+        # mesh the in-scan gathers are shard_map'd per resident shard
+        # (VERDICT r3 item 5: the gate that reverted v5e-8 eval to
+        # per-batch dispatch is gone).
+        if getattr(args, "fused_eval_pass", True):
             fused_embed_apply = fused_embed_vars = None
             if embed_space_evaluator and model != "gesture_autoencoder":
                 fused_embed_apply = embed_space_evaluator._embed
@@ -345,22 +355,43 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
                 audio_len=val_audio_len,
                 use_vids=(model == "multimodal_context"
                           and isinstance(speaker_model, Vocab)),
-                embed_apply=fused_embed_apply)
+                embed_apply=fused_embed_apply, mesh=mesh)
 
         def _make_resident_fn():
+            # shard_map strategy: same two-program shape (in-HBM gather
+            # + fused scan), with the DataParallel-faithful per-shard
+            # step bodies (VERDICT r3 item 6)
             if model == "multimodal_context":
+                if use_shard_map:
+                    from .gan import make_gan_resident_multi_step_shardmap
+                    return make_gan_resident_multi_step_shardmap(
+                        bundle, args, mesh)[0]
                 from .gan import make_gan_resident_multi_step
                 return make_gan_resident_multi_step(
                     bundle, args, steps_per_call, mesh=mesh)[0]
             if model in ("joint_embedding", "gesture_autoencoder"):
-                from .embed import make_embed_resident_multi_step
                 emb_mode = "random" if model == "joint_embedding" else None
+                if use_shard_map:
+                    from .embed import (
+                        make_embed_resident_multi_step_shardmap)
+                    return make_embed_resident_multi_step_shardmap(
+                        bundle, args, mesh, mode=emb_mode)[0]
+                from .embed import make_embed_resident_multi_step
                 return make_embed_resident_multi_step(
                     bundle, args, mode=emb_mode, mesh=mesh)[0]
             if model == "seq2seq":
+                if use_shard_map:
+                    from .seq2seq_step import (
+                        make_seq2seq_resident_multi_step_shardmap)
+                    return make_seq2seq_resident_multi_step_shardmap(
+                        bundle, args, mesh)[0]
                 from .seq2seq_step import make_seq2seq_resident_multi_step
                 return make_seq2seq_resident_multi_step(bundle, args,
                                                         mesh=mesh)[0]
+            if use_shard_map:
+                from .s2g import make_s2g_resident_multi_step_shardmap
+                return make_s2g_resident_multi_step_shardmap(
+                    bundle, args, mesh)[0]
             from .s2g import make_s2g_resident_multi_step
             return make_s2g_resident_multi_step(bundle, args, mesh=mesh)[0]
 
@@ -457,7 +488,7 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
                         fused_eval, resident_val, n_val_resident,
                         fused_embed_vars, args, bundle,
                         current_gen_vars(), embed_space_evaluator,
-                        speaker_model, rs, root_rng)
+                        speaker_model, rs, root_rng, mesh=mesh)
                 else:
                     val_metrics = evaluate_testset(
                         test_loader, current_gen_vars(), eval_step,
@@ -838,16 +869,25 @@ def _finish_eval(losses, joint_mae, accel, embed_space_evaluator, start):
 def evaluate_testset_resident_fused(fused_pass, resident_val, n_val,
                                     embed_vars, args, bundle, gen_vars,
                                     embed_space_evaluator, speaker_model,
-                                    rs, root_rng, batch_size=None):
+                                    rs, root_rng, batch_size=None,
+                                    mesh=None):
     """The resident-data validation pass in ONE device dispatch
-    (train/eval_steps.make_fused_eval_pass; single-device data mesh).
+    (train/eval_steps.make_fused_eval_pass).
 
     Identical numbers to evaluate_testset over a ResidentBatchIterator:
     same batch composition (sequential row ranges, drop-last unless
     --eval_full_set appends the masked tail), same per-batch rng stream
     (fold_in(root_rng, 777000+k)), same host speaker draws.  What
     changes is dispatch count: the per-batch path costs ~3 tunnel
-    round-trips per batch; this costs one per epoch."""
+    round-trips per batch; this costs one per epoch.
+
+    On a >1-device data mesh (VERDICT r3 item 5) index rows use the
+    iterator's LOCAL layout — device d's block at columns [d*B/dp,
+    (d+1)*B/dp), which under the round-robin sharding gathers exactly
+    the global rows [bi*B, (bi+1)*B) — and the --eval_full_set tail row
+    embeds resident.tail_local_layout's per-device rows (masked), the
+    same sample set the per-batch path evaluates."""
+    from .resident import mesh_dp, tail_local_layout
     if embed_space_evaluator:
         embed_space_evaluator.reset()
     losses = AverageMeter("loss")
@@ -856,17 +896,37 @@ def evaluate_testset_resident_fused(fused_pass, resident_val, n_val,
     start = time.time()
 
     bs = batch_size or args.batch_size
+    dp = mesh_dp(mesh)
+    bsl = bs // dp
     n_full = n_val // bs
-    idx_rows = [np.arange(bi * bs, (bi + 1) * bs, dtype=np.int32)
-                for bi in range(n_full)]
+    if dp > 1:
+        idx_rows = [np.tile(np.arange(bi * bsl, (bi + 1) * bsl,
+                                      dtype=np.int32), dp)
+                    for bi in range(n_full)]
+    else:
+        idx_rows = [np.arange(bi * bs, (bi + 1) * bs, dtype=np.int32)
+                    for bi in range(n_full)]
     mask_rows = [np.ones(bs, np.float32)] * n_full
+    tail_vids_n = None  # dp>1 tail: vids drawn like the per-batch path
     r = n_val - n_full * bs
     if getattr(args, "eval_full_set", False) and r > 0:
-        tail = np.arange(n_full * bs, n_val, dtype=np.int32)
-        idx_rows.append(np.concatenate(
-            [tail, np.full(bs - r, tail[-1], np.int32)]))
-        mask_rows.append(np.concatenate(
-            [np.ones(r, np.float32), np.zeros(bs - r, np.float32)]))
+        if dp > 1:
+            t_idx, t_mask = tail_local_layout(n_val, n_full * bs, dp)
+            r_local = t_idx.shape[1]
+            row_i = np.zeros(bs, np.int32)
+            row_m = np.zeros(bs, np.float32)
+            for d in range(dp):
+                row_i[d * bsl:d * bsl + r_local] = t_idx[d]
+                row_m[d * bsl:d * bsl + r_local] = t_mask[d]
+            idx_rows.append(row_i)
+            mask_rows.append(row_m)
+            tail_vids_n = dp * r_local
+        else:
+            tail = np.arange(n_full * bs, n_val, dtype=np.int32)
+            idx_rows.append(np.concatenate(
+                [tail, np.full(bs - r, tail[-1], np.int32)]))
+            mask_rows.append(np.concatenate(
+                [np.ones(r, np.float32), np.zeros(bs - r, np.float32)]))
     if not idx_rows:
         logging.warning("val pass saw no full batches; reporting inf loss")
         return {"loss": float("inf"), "joint_mae": float("inf")}
@@ -874,9 +934,23 @@ def evaluate_testset_resident_fused(fused_pass, resident_val, n_val,
     mask_stack = np.stack(mask_rows)
     n_batches = idx_stack.shape[0]
     if speaker_model and isinstance(speaker_model, Vocab):
-        # one rs draw per batch, like the per-batch path
-        vids_stack = np.stack([_random_vids(speaker_model, bs, rs)
-                               for _ in range(n_batches)])
+        # one rs draw per batch, like the per-batch path; the dp>1 tail
+        # batch draws the per-batch path's (smaller) count and scatters
+        # the blocks into the local layout so real rows pair with the
+        # same speaker draws
+        vids_rows = []
+        for bi in range(n_batches):
+            if tail_vids_n is not None and bi == n_batches - 1:
+                draws = _random_vids(speaker_model, tail_vids_n, rs)
+                r_local = tail_vids_n // dp
+                row = np.zeros(bs, np.int32)
+                for d in range(dp):
+                    row[d * bsl:d * bsl + r_local] = \
+                        draws[d * r_local:(d + 1) * r_local]
+                vids_rows.append(row)
+            else:
+                vids_rows.append(_random_vids(speaker_model, bs, rs))
+        vids_stack = np.stack(vids_rows)
     else:
         vids_stack = np.zeros((n_batches, bs), np.int32)
 

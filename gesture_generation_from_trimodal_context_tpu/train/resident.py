@@ -255,6 +255,122 @@ def scan_two_state(body):
     return multi_step
 
 
+def _metric_reduce(metrics_reduce):
+    red = jax.lax.psum if metrics_reduce == "psum" else jax.lax.pmean
+    return lambda m: {k: red(v, DATA_AXIS) for k, v in m.items()}
+
+
+def _pmean_tree(t):
+    return jax.tree_util.tree_map(
+        lambda x: jax.lax.pmean(x, DATA_AXIS), t)
+
+
+def scan_single_state_shardmap(body, mesh, metrics_reduce="pmean"):
+    """steps_per_call fusion under shard_map for single-state families
+    (VERDICT r3 item 4; mirrors train/gan.py make_gan_multi_step_shardmap
+    for the two-optimizer flagship): the scan over n_steps stacked
+    microbatches runs INSIDE the shard_map'd body, so per-step semantics
+    match n_steps single shard_map steps — per-shard BN/dropout with the
+    body's baked-in grad reduction, per-step pmean'd running stats —
+    while one host<->device roundtrip amortizes over the group.
+
+    body must come from a make_*_train_step(..., grad_reduce=<psum or
+    pmean over 'data'>).  Batches are stacked (K, B, ...) and sharded
+    P(None, 'data') like the jit fused path."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+
+    reduce_metrics = _metric_reduce(metrics_reduce)
+
+    def shard_body(state, batches, rng):
+        local_rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+
+        def scan_body(s, xs):
+            batch_k, k = xs
+            s, m = body(s, batch_k, jax.random.fold_in(local_rng, k))
+            s = s.replace(batch_stats=_pmean_tree(s.batch_stats))
+            return s, reduce_metrics(m)
+
+        ks = jnp.arange(jax.tree_util.tree_leaves(batches)[0].shape[0])
+        state, metrics = jax.lax.scan(scan_body, state, (batches, ks))
+        return state, metrics
+
+    fn = _shard_map(shard_body, mesh,
+                    in_specs=(P(), P(None, DATA_AXIS), P()),
+                    out_specs=(P(), P()))
+    return partial(jax.jit, donate_argnums=(0,))(fn)
+
+
+def scan_two_state_shardmap(body, mesh, metrics_reduce="pmean"):
+    """As scan_single_state_shardmap, for two-state families without
+    static gating (speech2gesture's LSGAN gen+dis step)."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+
+    reduce_metrics = _metric_reduce(metrics_reduce)
+
+    def shard_body(gen_state, dis_state, batches, rng):
+        local_rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+
+        def scan_body(carry, xs):
+            g, d = carry
+            batch_k, k = xs
+            g, d, m = body(g, d, batch_k, jax.random.fold_in(local_rng, k))
+            g = g.replace(batch_stats=_pmean_tree(g.batch_stats))
+            d = d.replace(batch_stats=_pmean_tree(d.batch_stats))
+            return (g, d), reduce_metrics(m)
+
+        ks = jnp.arange(jax.tree_util.tree_leaves(batches)[0].shape[0])
+        (gen_state, dis_state), metrics = jax.lax.scan(
+            scan_body, (gen_state, dis_state), (batches, ks))
+        return gen_state, dis_state, metrics
+
+    fn = _shard_map(shard_body, mesh,
+                    in_specs=(P(), P(), P(None, DATA_AXIS), P()),
+                    out_specs=(P(), P(), P()))
+    return partial(jax.jit, donate_argnums=(0, 1))(fn)
+
+
+def make_single_state_resident_multi_step_shardmap(body, audio_len=None,
+                                                   mesh=None,
+                                                   metrics_reduce="pmean"):
+    """--device_resident_data x dp_strategy=shard_map (VERDICT r3 item 6):
+    TWO device programs per steps_per_call group, exactly like the jit
+    resident path — the mesh-aware in-HBM gather in its own program (a
+    scan's large loop-invariant inputs are copied into HBM temps, see
+    gather_rows), then the DataParallel-faithful fused multi-step
+    (scan_single_state_shardmap).
+
+    The caller passes the same (K, B) LOCAL-layout index stacks the jit
+    resident path builds (train/loops.py: per-device permutations over
+    each round-robin residue class, concatenated on the batch axis)."""
+    gather_stack = make_gather_stack(audio_len, mesh)
+    multi = scan_single_state_shardmap(body, mesh,
+                                       metrics_reduce=metrics_reduce)
+
+    def resident_multi_step(state, data, idx_stack, rng):
+        return multi(state, gather_stack(data, jnp.asarray(idx_stack)),
+                     rng)
+
+    return resident_multi_step
+
+
+def make_two_state_resident_multi_step_shardmap(body, audio_len=None,
+                                                mesh=None,
+                                                metrics_reduce="pmean"):
+    """Two-state (gen+dis) variant of
+    make_single_state_resident_multi_step_shardmap (speech2gesture)."""
+    gather_stack = make_gather_stack(audio_len, mesh)
+    multi = scan_two_state_shardmap(body, mesh,
+                                    metrics_reduce=metrics_reduce)
+
+    def resident_multi_step(gen_state, dis_state, data, idx_stack, rng):
+        return multi(gen_state, dis_state,
+                     gather_stack(data, jnp.asarray(idx_stack)), rng)
+
+    return resident_multi_step
+
+
 def make_single_state_resident_multi_step(body, audio_len=None, mesh=None):
     """Resident-data variant of scan_single_state: the (K, B) index
     stack is gathered in-graph from the resident dataset first."""
@@ -278,6 +394,31 @@ def make_two_state_resident_multi_step(body, audio_len=None, mesh=None):
                           gather_stack(data, jnp.asarray(idx_stack)), rng)
 
     return resident_multi_step
+
+
+def tail_local_layout(n_samples, t0, dp):
+    """--eval_full_set tail rows on a dp-device round-robin layout.
+
+    Returns (idx (dp, r_local) LOCAL indices, mask (dp, r_local)): device
+    d's tail rows are the dataset rows i in [t0, n) with i % dp == d at
+    local index i // dp, padded by repeating the device's last real row;
+    mask flags real samples.  Shared by ResidentBatchIterator._tail_batch
+    and the multi-device fused eval pass so both paths evaluate the
+    identical sample set."""
+    r = n_samples - t0
+    if r <= 0:
+        return None, None
+    r_local = -(-r // dp)
+    idx = np.empty((dp, r_local), np.int32)
+    mask = np.zeros((dp, r_local), np.float32)
+    for d in range(dp):
+        rows = np.arange(t0 + (d - t0) % dp, n_samples, dp, dtype=np.int32)
+        locs = rows // dp
+        k = len(locs)
+        idx[d, :k] = locs
+        idx[d, k:] = locs[-1] if k else 0
+        mask[d, :k] = 1.0
+    return idx, mask
 
 
 class ResidentBatchIterator:
@@ -350,25 +491,14 @@ class ResidentBatchIterator:
         device-block permuted — eval metrics and FGD accumulation are
         order-invariant."""
         t0 = len(self) * self.batch_size
-        r = self.n_samples - t0
-        if r <= 0:
+        if self.n_samples - t0 <= 0:
             return None
         if self.dp == 1:
             idx = np.arange(t0, self.n_samples, dtype=np.int32)
             return self._gather(self.data, idx)
-        r_local = -(-r // self.dp)
-        idx = np.empty((self.dp, r_local), np.int32)
-        mask = np.zeros((self.dp, r_local), np.float32)
-        for d in range(self.dp):
-            # dataset rows i in [t0, n) with i % dp == d live on device d
-            # at local index i // dp
-            rows = np.arange(t0 + (d - t0) % self.dp, self.n_samples,
-                             self.dp, dtype=np.int32)
-            locs = rows // self.dp
-            k = len(locs)
-            idx[d, :k] = locs
-            idx[d, k:] = locs[-1] if k else 0
-            mask[d, :k] = 1.0
+        # dataset rows i in [t0, n) with i % dp == d live on device d at
+        # local index i // dp (tail_local_layout)
+        idx, mask = tail_local_layout(self.n_samples, t0, self.dp)
         batch = dict(self._gather(self.data, idx.reshape(-1)))
         batch["__mask__"] = mask.reshape(-1)
         return batch

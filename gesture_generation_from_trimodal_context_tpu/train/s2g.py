@@ -95,6 +95,31 @@ def make_s2g_resident_multi_step(bundle, args, mesh=None):
         gen_tx, dis_tx
 
 
+def make_s2g_multi_step_shardmap(bundle, args, mesh, n_steps):
+    """steps_per_call fusion under shard_map for speech2gesture (VERDICT
+    r3 item 4): per-step semantics of make_s2g_train_step_shardmap
+    (per-shard BN/dropout, pmean'd grads, per-step pmean'd running
+    stats), one dispatch per n_steps group."""
+    from .resident import scan_two_state_shardmap
+    pmean_tree = lambda t: jax.tree_util.tree_map(
+        lambda x: jax.lax.pmean(x, "data"), t)
+    step, gen_tx, dis_tx = make_s2g_train_step(bundle, args,
+                                               grad_reduce=pmean_tree)
+    return scan_two_state_shardmap(step.body, mesh), gen_tx, dis_tx
+
+
+def make_s2g_resident_multi_step_shardmap(bundle, args, mesh):
+    """--device_resident_data x dp_strategy=shard_map for speech2gesture
+    (VERDICT r3 item 6)."""
+    from .resident import make_two_state_resident_multi_step_shardmap
+    pmean_tree = lambda t: jax.tree_util.tree_map(
+        lambda x: jax.lax.pmean(x, "data"), t)
+    step, gen_tx, dis_tx = make_s2g_train_step(bundle, args,
+                                               grad_reduce=pmean_tree)
+    return make_two_state_resident_multi_step_shardmap(
+        step.body, mesh=mesh), gen_tx, dis_tx
+
+
 def make_s2g_train_step_shardmap(bundle, args, mesh):
     """Explicit-SPMD LSGAN step via shard_map (DataParallel-faithful,
     reference train.py:93-96 wraps every family): BatchNorm batch

@@ -67,6 +67,30 @@ def make_seq2seq_resident_multi_step(bundle, args, mesh=None):
                                                  mesh=mesh), tx
 
 
+def make_seq2seq_multi_step_shardmap(bundle, args, mesh, n_steps):
+    """steps_per_call fusion under shard_map for seq2seq (VERDICT r3
+    item 4): per-step semantics of make_seq2seq_train_step_shardmap
+    (per-shard dropout, pmean'd grads through the global-norm clip),
+    one dispatch per n_steps group."""
+    from .resident import scan_single_state_shardmap
+    pmean_tree = lambda t: jax.tree_util.tree_map(
+        lambda x: jax.lax.pmean(x, "data"), t)
+    step, tx = make_seq2seq_train_step(bundle, args, grad_reduce=pmean_tree)
+    return scan_single_state_shardmap(step.body, mesh), tx
+
+
+def make_seq2seq_resident_multi_step_shardmap(bundle, args, mesh):
+    """--device_resident_data x dp_strategy=shard_map for seq2seq
+    (VERDICT r3 item 6): per-shard in-HBM gathers feed the faithful
+    per-shard step inside one shard_map'd scan."""
+    from .resident import make_single_state_resident_multi_step_shardmap
+    pmean_tree = lambda t: jax.tree_util.tree_map(
+        lambda x: jax.lax.pmean(x, "data"), t)
+    step, tx = make_seq2seq_train_step(bundle, args, grad_reduce=pmean_tree)
+    return make_single_state_resident_multi_step_shardmap(
+        step.body, mesh=mesh), tx
+
+
 def make_seq2seq_train_step_shardmap(bundle, args, mesh):
     """Explicit-SPMD variant via shard_map (DataParallel-faithful,
     matching the reference's DataParallel wrap of every family,

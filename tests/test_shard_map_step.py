@@ -284,3 +284,237 @@ def test_gan_multi_step_shardmap_matches_single_steps():
             t1, t2)
     np.testing.assert_allclose(np.asarray(m1["loss"][-1]),
                                np.asarray(mk["loss"]), rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 item 4: steps_per_call fusion under shard_map for the
+# remaining families.  With dropout 0 (and no z noise) the forwards are
+# deterministic, so the fused K-step trajectory must land where K single
+# shard_map steps land (rng only feeds dead draws).
+# ---------------------------------------------------------------------------
+
+def _tree_close(name, t1, t2, atol=4e-3):
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=atol, err_msg=name), t1, t2)
+
+
+def _replicated_state(vars_, tx, mesh):
+    return mesh_lib.replicate(state_lib.make_net_state(
+        jax.tree_util.tree_map(jnp.array, vars_), tx), mesh)
+
+
+def test_joint_embedding_shardmap_runs_with_text_audio():
+    """Regression: the target-only shard_map variant crashed
+    joint_embedding (mode='random' REQUIRES in_text/in_audio for the
+    ContextEncoder latent, models/embedding_net.py:249-270)."""
+    from tests.test_train_steps import make_batch, tiny_vocab
+    args = tiny_args(model="joint_embedding", learning_rate=1e-3)
+    bundle = factory.init_model(args, tiny_vocab(), None, 27)
+    gvars = factory.generator_init_variables(bundle, args,
+                                             jax.random.PRNGKey(0), 8)
+    mesh = mesh_lib.get_mesh(8)
+    batch = make_batch(np.random.RandomState(0), b=8)
+    keys = ("in_text", "in_audio", "target_vec")
+    with mesh:
+        from gesture_generation_from_trimodal_context_tpu.train.embed import (
+            make_embed_train_step_shardmap)
+        step, tx = make_embed_train_step_shardmap(bundle, args, mesh,
+                                                  mode="random")
+        st = _replicated_state(gvars, tx, mesh)
+        dbatch = mesh_lib.shard_batch(
+            {k: np.asarray(batch[k]) for k in keys}, mesh)
+        st, m = step(st, dbatch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+
+
+def _multi_vs_single_single_state(model, keys, make_single, make_multi,
+                                  mode=None):
+    from tests.test_train_steps import make_batch, tiny_vocab
+    args = tiny_args(model=model, dropout_prob=0.0, learning_rate=1e-3)
+    lang = tiny_vocab() if model != "gesture_autoencoder" else None
+    bundle = factory.init_model(args, lang, None, 27)
+    gvars = factory.generator_init_variables(bundle, args,
+                                             jax.random.PRNGKey(0), 8)
+    mesh = mesh_lib.get_mesh(8)
+    K = 2
+    rng0 = np.random.RandomState(5)
+    host_batches = [make_batch(rng0, b=8) for _ in range(K)]
+    root = jax.random.PRNGKey(33)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    with mesh:
+        multi, tx = make_multi(bundle, args, mesh, K)
+        s1 = _replicated_state(gvars, tx, mesh)
+        sh = NamedSharding(mesh, PartitionSpec(None, "data"))
+        stacked = {k: jax.device_put(
+            np.stack([np.asarray(b[k]) for b in host_batches]), sh)
+            for k in keys}
+        s1, m1 = multi(s1, stacked, root)
+
+        single, tx2 = make_single(bundle, args, mesh)
+        s2 = _replicated_state(gvars, tx2, mesh)
+        for k in range(K):
+            dbatch = mesh_lib.shard_batch(
+                {kk: np.asarray(host_batches[k][kk]) for kk in keys}, mesh)
+            s2, mk = single(s2, dbatch, jax.random.fold_in(root, k))
+
+    _tree_close("params", s1.params, s2.params)
+    _tree_close("bn", s1.batch_stats, s2.batch_stats)
+    np.testing.assert_allclose(np.asarray(m1["loss"][-1]),
+                               np.asarray(mk["loss"]), rtol=1e-3)
+
+
+def test_embed_multi_step_shardmap_matches_single_steps():
+    from gesture_generation_from_trimodal_context_tpu.train.embed import (
+        make_embed_multi_step_shardmap, make_embed_train_step_shardmap)
+    _multi_vs_single_single_state(
+        "gesture_autoencoder", ("target_vec",),
+        lambda b, a, m: make_embed_train_step_shardmap(b, a, m, mode=None),
+        lambda b, a, m, k: make_embed_multi_step_shardmap(b, a, m, k,
+                                                          mode=None))
+
+
+def test_seq2seq_multi_step_shardmap_matches_single_steps():
+    from gesture_generation_from_trimodal_context_tpu.train.seq2seq_step import (
+        make_seq2seq_multi_step_shardmap, make_seq2seq_train_step_shardmap)
+    _multi_vs_single_single_state(
+        "seq2seq", ("word_seq", "word_lengths", "target_vec"),
+        make_seq2seq_train_step_shardmap, make_seq2seq_multi_step_shardmap)
+
+
+def test_s2g_multi_step_shardmap_matches_single_steps():
+    from tests.test_train_steps import make_batch, tiny_vocab
+    from gesture_generation_from_trimodal_context_tpu.train.s2g import (
+        make_s2g_multi_step_shardmap, make_s2g_train_step_shardmap)
+    args = tiny_args(model="speech2gesture", dropout_prob=0.0,
+                     learning_rate=2e-4)
+    bundle = factory.init_model(args, tiny_vocab(), None, 27)
+    key = jax.random.PRNGKey(0)
+    gvars = factory.generator_init_variables(bundle, args, key, 8)
+    dvars = factory.discriminator_init_variables(bundle, args, key, 8)
+    mesh = mesh_lib.get_mesh(8)
+    K = 2
+    rng0 = np.random.RandomState(7)
+    host_batches = [make_batch(rng0, b=8) for _ in range(K)]
+    keys = ("in_spec", "target_vec")
+    root = jax.random.PRNGKey(44)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    with mesh:
+        multi, gtx, dtx = make_s2g_multi_step_shardmap(bundle, args, mesh, K)
+        g1 = _replicated_state(gvars, gtx, mesh)
+        d1 = _replicated_state(dvars, dtx, mesh)
+        sh = NamedSharding(mesh, PartitionSpec(None, "data"))
+        stacked = {k: jax.device_put(
+            np.stack([np.asarray(b[k]) for b in host_batches]), sh)
+            for k in keys}
+        g1, d1, m1 = multi(g1, d1, stacked, root)
+
+        single, gtx2, dtx2 = make_s2g_train_step_shardmap(bundle, args, mesh)
+        g2 = _replicated_state(gvars, gtx2, mesh)
+        d2 = _replicated_state(dvars, dtx2, mesh)
+        for k in range(K):
+            dbatch = mesh_lib.shard_batch(
+                {kk: np.asarray(host_batches[k][kk]) for kk in keys}, mesh)
+            g2, d2, mk = single(g2, d2, dbatch, jax.random.fold_in(root, k))
+
+    _tree_close("gen", g1.params, g2.params)
+    _tree_close("dis", d1.params, d2.params)
+    _tree_close("gen_bn", g1.batch_stats, g2.batch_stats)
+    np.testing.assert_allclose(np.asarray(m1["loss"][-1]),
+                               np.asarray(mk["loss"]), rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 item 6: --device_resident_data x dp_strategy=shard_map.
+# The round-robin resident gather feeding the faithful multi-step must
+# land exactly where the host-stacked faithful multi-step lands on the
+# same sample rows.
+# ---------------------------------------------------------------------------
+
+def test_gan_resident_multi_step_shardmap_matches_host_stacked():
+    from tests.test_train_steps import make_batch, tiny_vocab
+    from gesture_generation_from_trimodal_context_tpu.train import resident
+    from gesture_generation_from_trimodal_context_tpu.train.gan import (
+        make_gan_multi_step_shardmap, make_gan_resident_multi_step_shardmap)
+
+    args = tiny_args(z_type="none", dropout_prob=0.0,
+                     fused_gen_forwards=False)
+    bundle = factory.init_model(args, tiny_vocab(), None, 27)
+    key = jax.random.PRNGKey(0)
+    gvars = factory.generator_init_variables(bundle, args, key, 8)
+    dvars = factory.discriminator_init_variables(bundle, args, key, 8)
+    mesh = mesh_lib.get_mesh(8)
+    dp, B, K = 8, 8, 2
+    N = 24
+
+    rng0 = np.random.RandomState(3)
+    big = make_batch(rng0, b=N)
+    host = {k: np.asarray(big[k]) for k in ("in_text", "in_audio",
+                                            "target_vec")}
+    with mesh:
+        data, meta = resident.shard_host_data(host, mesh, label="test")
+        # local index stacks: column block d = device d's local rows
+        bsl = B // dp
+        rs = np.random.RandomState(11)
+        idx_local = np.stack([
+            np.concatenate([rs.randint(0, meta.valid_local[d], bsl)
+                            for d in range(dp)])
+            for _ in range(K)]).astype(np.int32)
+
+        res_fn, gtx, dtx = make_gan_resident_multi_step_shardmap(
+            bundle, args, mesh)
+        g1 = _replicated_state(gvars, gtx, mesh)
+        d1 = _replicated_state(dvars, dtx, mesh)
+        root = jax.random.PRNGKey(9)
+        g1, d1, m1 = res_fn(g1, d1, data, idx_local, root, train_d=True,
+                            add_gan=True)
+
+        # host-stacked equivalent batches: local row l on device d is
+        # global row l*dp + d (round-robin layout)
+        glob = np.empty_like(idx_local)
+        for d in range(dp):
+            cols = slice(d * bsl, (d + 1) * bsl)
+            glob[:, cols] = idx_local[:, cols] * dp + d
+        from jax.sharding import NamedSharding, PartitionSpec
+        sh = NamedSharding(mesh, PartitionSpec(None, "data"))
+        stacked = {k: jax.device_put(v[glob.reshape(-1)].reshape(
+            (K, B) + v.shape[1:]), sh) for k, v in host.items()}
+
+        multi, gtx2, dtx2 = make_gan_multi_step_shardmap(bundle, args,
+                                                         mesh, K)
+        g2 = _replicated_state(gvars, gtx2, mesh)
+        d2 = _replicated_state(dvars, dtx2, mesh)
+        g2, d2, m2 = multi(g2, d2, stacked, root, train_d=True,
+                           add_gan=True)
+
+    _tree_close("gen", g1.params, g2.params, atol=1e-5)
+    _tree_close("dis", d1.params, d2.params, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m1["loss"]),
+                               np.asarray(m2["loss"]), rtol=1e-4)
+
+
+def test_embed_resident_multi_step_shardmap_runs():
+    from tests.test_train_steps import make_batch
+    from gesture_generation_from_trimodal_context_tpu.train import resident
+    from gesture_generation_from_trimodal_context_tpu.train.embed import (
+        make_embed_resident_multi_step_shardmap)
+
+    args = tiny_args(model="gesture_autoencoder", dropout_prob=0.0,
+                     learning_rate=1e-3)
+    bundle = factory.init_model(args, None, None, 27)
+    gvars = factory.generator_init_variables(bundle, args,
+                                             jax.random.PRNGKey(0), 8)
+    mesh = mesh_lib.get_mesh(8)
+    big = make_batch(np.random.RandomState(1), b=16)
+    host = {"target_vec": np.asarray(big["target_vec"])}
+    with mesh:
+        data, meta = resident.shard_host_data(host, mesh, label="test")
+        fn, tx = make_embed_resident_multi_step_shardmap(bundle, args, mesh,
+                                                         mode=None)
+        st = _replicated_state(gvars, tx, mesh)
+        idx = np.zeros((2, 8), np.int32)
+        idx[1] = 1
+        st, m = fn(st, data, idx, jax.random.PRNGKey(2))
+    assert np.all(np.isfinite(np.asarray(m["loss"])))
