@@ -127,10 +127,16 @@ def _tpu_options():
     # lax.scan unroll factor for the recurrent GRU loops (compile time vs
     # per-iteration while-loop overhead; ops/recurrent.set_scan_unroll)
     add(_Opt("scan_unroll", int, 1))
-    # DOCUMENTED DEVIATION: bfloat16 compute inside the recurrent loops
-    # (carries/gates/recurrent matmul); params and optimizer state stay
-    # fp32 (ops/recurrent.set_rnn_dtype)
-    add(_Opt("rnn_bf16", str2bool, False))
+    # DOCUMENTED DEVIATION (default ON since round 4): bfloat16 compute
+    # inside the recurrent loops (carries/gates/recurrent matmul); params
+    # and optimizer state stay fp32 (ops/recurrent.set_rnn_dtype).
+    # Evidence for the default (PRECISION_r04.json + RESULTS.md): the
+    # bf16 gradient error is 20-230x below each family's minibatch noise
+    # floor at random init AND at a trained checkpoint, and the 30-epoch
+    # TED-scale FGD/loss trajectories match fp32 within run-to-run noise
+    # while steps run ~19% faster.  --rnn_bf16 false restores the
+    # reference's exact fp32 recurrent math.
+    add(_Opt("rnn_bf16", str2bool, True))
     # DOCUMENTED DEVIATION: clamp discriminator probabilities into
     # [c, 1-c] before the ns-GAN logs; 0 (default) = exact reference
     # math, whose log(0) hits inf when D saturates (train/gan.py)

@@ -163,10 +163,14 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
     if (getattr(args, "scan_unroll", 1) or 1) > 1:
         from ..ops.recurrent import set_scan_unroll
         set_scan_unroll(args.scan_unroll)
+    from ..ops.recurrent import set_rnn_dtype
     if getattr(args, "rnn_bf16", False):
         import jax.numpy as _jnp
-        from ..ops.recurrent import set_rnn_dtype
         set_rnn_dtype(_jnp.bfloat16)
+    else:
+        # explicit reset: --rnn_bf16 false must restore exact fp32 math
+        # even if an earlier call in this process enabled bf16
+        set_rnn_dtype(None)
 
     # mesh strategy validation first (before any model building)
     dp_strategy = getattr(args, "dp_strategy", "jit") or "jit"

@@ -17,7 +17,11 @@ Audio is stored int16 (PCM precision, decoded in-graph by
 train/common.decode_audio), text as int32 indices, targets fp32.
 """
 
+import hashlib
+import json
 import logging
+import os
+import shutil
 from types import SimpleNamespace
 
 import numpy as np
@@ -150,21 +154,72 @@ def shard_host_data(host, mesh=None, label=""):
     return data, meta
 
 
-def build_resident_data(dataset, speaker_model, include_vids,
-                        chunk=4096, label="train", mesh=None,
-                        fields=TRAIN_FIELDS):
-    """Assemble the full dataset into device-resident stacked tensors.
+def _assembly_fingerprint(dataset, speaker_model, include_vids, fields):
+    """Identity of the assembled host tensors: every input that shapes
+    them — the cache .bin/.msgpack files (size+mtime), the window/audio
+    geometry, the exact tokenization (hash of the pre-tokenized ragged
+    arrays), and the speaker->index map when vids are included."""
+    store = dataset.store
+    bits = {
+        "v": 1,
+        "fields": sorted(fields),
+        "include_vids": bool(include_vids),
+        "n": len(dataset),
+        "n_poses": dataset.n_poses,
+        "audio_len": dataset.expected_audio_length,
+        "spec_len": dataset.expected_spectrogram_length,
+        "word_cap": dataset.word_cap,
+        "remove_word_timing": bool(dataset.remove_word_timing),
+        "meta": store.meta,
+    }
+    for fn in sorted(os.listdir(store.path)):
+        if fn.endswith((".bin", ".msgpack")):
+            st = os.stat(os.path.join(store.path, fn))
+            bits["src:" + fn] = [st.st_size, int(st.st_mtime)]
+    h = hashlib.sha1(json.dumps(bits, sort_keys=True).encode())
+    if ("in_text" in fields or "word_seq" in fields) \
+            and getattr(dataset, "_tok_ids", None) is not None:
+        h.update(dataset._tok_ids.tobytes())
+        h.update(dataset._tok_starts.tobytes())
+        h.update(dataset._tok_offsets.tobytes())
+    if include_vids and hasattr(speaker_model, "word2index"):
+        h.update(json.dumps(sorted(speaker_model.word2index.items()),
+                            sort_keys=True).encode())
+    return h.hexdigest()[:16]
 
-    Returns (data, meta): a dict of jax arrays keyed like a train batch
+
+def assemble_host_data(dataset, speaker_model, include_vids,
+                       chunk=4096, label="train", fields=TRAIN_FIELDS):
+    """Assemble the full dataset into host-stacked resident tensors.
+
+    Returns a dict of (N, ...) numpy arrays keyed like a train batch
     (``fields`` selects the family's inputs, MODEL_FIELDS — e.g.
-    in_text (N, T) i32, in_audio (N, A) i16, target_vec (N, T, 27) f32)
-    plus vid_indices (N,) i32 when include_vids, and the shard metadata
-    from shard_host_data.  With a multi-device 'data' mesh the rows are
-    round-robin sharded over the mesh (VERDICT r2 item 1: the resident
-    input path itself scales with the mesh instead of parking the
-    dataset on one chip).
+    in_text (N, T) i32, in_audio (N, A) i16 lane-padded, target_vec
+    (N, T, 27) f32) plus vid_indices (N,) i32 when include_vids.
+
+    The result is cached on disk next to the sample cache
+    (``<cache>/resident/<fingerprint>/``): assembling the published-scale
+    train set costs ~15 min of one-vCPU decode work, while re-reading the
+    assembled ~11 GB is disk-bandwidth bound (~1-2 min cold, seconds
+    warm).  ``GG_RESIDENT_CACHE=0`` disables; ``tools/
+    build_resident_cache.py`` pre-builds it outside a training run.
     """
     from ..data.vocab import Vocab
+
+    use_cache = os.environ.get("GG_RESIDENT_CACHE", "1") != "0" \
+        and hasattr(dataset, "store")
+    cdir = None
+    if use_cache:
+        root = os.path.join(dataset.store.path, "resident")
+        cdir = os.path.join(root, _assembly_fingerprint(
+            dataset, speaker_model, include_vids, fields))
+        index = os.path.join(cdir, "index.json")
+        if os.path.exists(index):
+            with open(index) as f:
+                keys = json.load(f)["keys"]
+            logging.info("resident %s assembly: cache hit %s", label, cdir)
+            return {k: np.load(os.path.join(cdir, k + ".npy"),
+                               mmap_mode="r") for k in keys}
 
     was_int16 = getattr(dataset, "audio_int16", False)
     if "in_audio" in fields:
@@ -188,6 +243,43 @@ def build_resident_data(dataset, speaker_model, include_vids,
             for k in parts[0].keys()}
     if "in_audio" in host:
         host["in_audio"] = pad_lanes(host["in_audio"])
+
+    if cdir is not None:
+        try:
+            root = os.path.dirname(cdir)
+            if os.path.isdir(root):  # evict stale fingerprints (~11 GB each)
+                for d in os.listdir(root):
+                    if d != os.path.basename(cdir):
+                        shutil.rmtree(os.path.join(root, d),
+                                      ignore_errors=True)
+            os.makedirs(cdir, exist_ok=True)
+            for k, v in host.items():
+                tmp = os.path.join(cdir, k + ".tmp.npy")
+                np.save(tmp, v)
+                os.replace(tmp, os.path.join(cdir, k + ".npy"))
+            tmp = os.path.join(cdir, "index.tmp")
+            with open(tmp, "w") as f:  # written LAST: marks a complete dir
+                json.dump({"keys": sorted(host.keys())}, f)
+            os.replace(tmp, os.path.join(cdir, "index.json"))
+            logging.info("resident %s assembly: cached to %s", label, cdir)
+        except OSError as e:  # disk full etc — cache is best-effort
+            logging.warning("resident cache write failed (%s); continuing "
+                            "uncached", e)
+            shutil.rmtree(cdir, ignore_errors=True)
+    return host
+
+
+def build_resident_data(dataset, speaker_model, include_vids,
+                        chunk=4096, label="train", mesh=None,
+                        fields=TRAIN_FIELDS):
+    """Assemble (assemble_host_data, disk-cached) and upload
+    (shard_host_data) the full dataset as device-resident tensors.
+    Returns (data, meta).  With a multi-device 'data' mesh the rows are
+    round-robin sharded over the mesh (VERDICT r2 item 1: the resident
+    input path itself scales with the mesh instead of parking the
+    dataset on one chip)."""
+    host = assemble_host_data(dataset, speaker_model, include_vids,
+                              chunk=chunk, label=label, fields=fields)
     return shard_host_data(host, mesh, label=label)
 
 

@@ -24,3 +24,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+@pytest.fixture(autouse=True)
+def _reset_recurrent_globals():
+    """Tests share one process; the train CLI sets process-global
+    recurrent-op state (rnn dtype — bf16 is the DEFAULT since round 4 —
+    scan unroll, gru impl).  Reset around every test so numeric pins
+    (torch parity <=3e-4, path-equivalence) never see another test's
+    numerics mode."""
+    yield
+    from gesture_generation_from_trimodal_context_tpu.ops import recurrent
+    recurrent.set_rnn_dtype(None)
+    recurrent.set_scan_unroll(1)
+    recurrent.set_gru_impl("scan")
