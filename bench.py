@@ -101,8 +101,9 @@ def main():
     # compile+warmup; caching the serialized executables across bench
     # runs makes warm starts measure steady state, not the compiler
     from gesture_generation_from_trimodal_context_tpu.utils import (
-        compile_cache)
+        compile_cache, platforms)
     compile_cache.enable()
+    platforms.enable_host_cpu()  # eager init runs locally, not tunneled
     _wait_for_backend()
     import __graft_entry__ as ge
     from gesture_generation_from_trimodal_context_tpu.models import factory
@@ -137,11 +138,17 @@ def main():
     args.fused_gen_forwards = fused
     args.fold_all_forwards = fold_all
     key = jax.random.PRNGKey(0)
-    gvars = factory.generator_init_variables(bundle, args, key, batch)
-    dvars = factory.discriminator_init_variables(bundle, args, key, batch)
-    step, gen_tx, dis_tx = make_gan_train_step(bundle, args)
-    gen_state = make_net_state(gvars, gen_tx)
-    dis_state = make_net_state(dvars, dis_tx)
+    # init on the host cpu (one bulk upload via replicate below) instead
+    # of eager op-by-op dispatch over the tunnel (utils/platforms.py)
+    with platforms.host_init_context():
+        init_key = jax.random.PRNGKey(0)
+        gvars = factory.generator_init_variables(bundle, args, init_key,
+                                                 batch)
+        dvars = factory.discriminator_init_variables(bundle, args,
+                                                     init_key, batch)
+        step, gen_tx, dis_tx = make_gan_train_step(bundle, args)
+        gen_state = make_net_state(gvars, gen_tx)
+        dis_state = make_net_state(dvars, dis_tx)
 
     mesh = mesh_lib.get_mesh(-1)
     rs = np.random.RandomState(0)

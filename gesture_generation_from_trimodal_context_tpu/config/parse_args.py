@@ -196,6 +196,13 @@ def _tpu_options():
     # as the per-batch path (train/eval_steps.make_fused_eval_pass);
     # default on, disable to fall back to per-batch eval
     add(_Opt("fused_eval_pass", str2bool, True))
+    # write checkpoints from a background thread: the main loop takes a
+    # one-dispatch on-device snapshot of the state and keeps training
+    # while the device->host transfer + msgpack encode + write happen
+    # concurrently (train/async_ckpt.py).  Pure IO change, zero effect
+    # on training math; saves measured ~6-9 s/epoch synchronous on the
+    # TED-scale recipe (RESULTS.md round 4).  false = synchronous saves
+    add(_Opt("async_checkpoint", str2bool, True))
     add(_Opt("deterministic_tb_dir", str2bool, False))  # stable tensorboard dir name (tests)
     return o
 

@@ -90,18 +90,33 @@ class SpeechMotionDataset:
 
     def set_lang_model(self, lang_model):
         self.lang_model = lang_model
-        # Pre-tokenize every sample's word list into flat ragged arrays so
-        # batch assembly is pure numeric work (native/ggloader.cc or the
-        # numpy fallback) with no dict lookups in the hot path.
-        ids, starts, offsets = [], [], [0]
-        for words in self.store.words:
-            for w in words:
-                ids.append(lang_model.get_word_index(w[0]))
-                starts.append(w[1])
-            offsets.append(len(ids))
-        self._tok_ids = np.asarray(ids, np.int32)
-        self._tok_starts = np.asarray(starts, np.float32)
-        self._tok_offsets = np.asarray(offsets, np.int64)
+        # Tokenization is LAZY: pre-tokenizing every sample's word list
+        # into flat ragged arrays (for the native word_scatter) costs
+        # ~2 min of one-vCPU Python at the published scale, and a
+        # resident-cache-hit run never assembles a host batch at all.
+        # First make_batch triggers it (thread-safe: BatchIterator calls
+        # make_batch from a worker pool).
+        self._tok_ids = None
+        self._tok_starts = None
+        self._tok_offsets = None
+        self._tok_lock = threading.Lock()
+
+    def _ensure_tokenized(self):
+        if self._tok_ids is not None:
+            return
+        with self._tok_lock:
+            if self._tok_ids is not None:
+                return
+            ids, starts, offsets = [], [], [0]
+            for words in self.store.words:
+                for w in words:
+                    ids.append(self.lang_model.get_word_index(w[0]))
+                    starts.append(w[1])
+                offsets.append(len(ids))
+            self._tok_starts = np.asarray(starts, np.float32)
+            self._tok_offsets = np.asarray(offsets, np.int64)
+            # published last: unlocked fast-path readers key on _tok_ids
+            self._tok_ids = np.asarray(ids, np.int32)
 
     def _make_speaker_model(self, data_dir, cache_path):
         logging.info("  building a speaker model...")
@@ -178,6 +193,7 @@ class SpeechMotionDataset:
             n_cached = arrays["vec_seq"].shape[1]
             sample_end = start_t + (end_t - start_t) * n / n_cached
             frame_dur = (sample_end - start_t) / n
+            self._ensure_tokenized()
             ext_words, word_ids, word_lengths = native.word_scatter(
                 self._tok_ids, self._tok_starts, self._tok_offsets, idx,
                 start_t, sample_end, frame_dur, n, self.word_cap,

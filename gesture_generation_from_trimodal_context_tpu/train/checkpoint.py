@@ -14,6 +14,7 @@ vocabularies via pickle (like the reference's torch.save of Vocab).
 """
 
 import logging
+import os
 import pickle
 
 import msgpack
@@ -40,8 +41,13 @@ def save_checkpoint(state, filename):
         "dis_opt": (serialization.to_bytes(state["dis_opt"])
                     if state.get("dis_opt") is not None else b""),
     }
-    with open(filename, "wb") as f:
+    # atomic: *_checkpoint_last.bin is the crash-recovery file and (with
+    # the async writer, train/async_ckpt.py) may be written while the
+    # next epoch trains — it must never exist half-written
+    tmp = filename + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(msgpack.packb(blob, use_bin_type=True))
+    os.replace(tmp, filename)
     logging.info("Saved the checkpoint")
 
 
@@ -84,7 +90,15 @@ def load_checkpoint_and_model(checkpoint_path, rng):
     logging.info("epoch %d", ckpt["epoch"])
 
     bundle = factory.init_model(args, lang_model, speaker_model, pose_dim)
-    template = factory.generator_init_variables(bundle, args, rng,
-                                                batch_size=1)
+    # template init is eager flax work — run it on the host cpu instead
+    # of op-by-op over a tunneled device (utils/platforms.py); the
+    # restored leaves are numpy and get placed on first jitted use
+    from ..utils import platforms
+    with platforms.host_init_context():
+        dev = platforms.host_cpu_device()
+        if dev is not None:
+            rng = jax.device_put(rng, dev)
+        template = factory.generator_init_variables(bundle, args, rng,
+                                                    batch_size=1)
     gen_vars = serialization.from_bytes(template, ckpt["gen_vars_bytes"])
     return args, bundle, gen_vars, lang_model, speaker_model, pose_dim

@@ -15,6 +15,7 @@ the whole iteration (D+G) is one compiled program; optional true resume
 from a checkpoint with optimizer state (the reference cannot resume).
 """
 
+import atexit
 import datetime
 import logging
 import os
@@ -31,6 +32,7 @@ from ..parallel import mesh as mesh_lib
 from ..utils.average_meter import AverageMeter
 from ..utils.logging_utils import time_since
 from ..utils.tb import MetricWriter
+from . import async_ckpt
 from . import checkpoint as ckpt_lib
 from .embed import make_embed_train_step
 from .eval_steps import make_eval_step, make_fused_eval_pass
@@ -202,27 +204,38 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
     root_rng = jax.random.PRNGKey(seed)
     rs = np.random.RandomState(seed)
 
-    gvars = factory.generator_init_variables(bundle, args, root_rng)
-    gvars = factory.load_pretrained_word_embedding(
-        gvars, lang_model.word_embedding_weights
-        if lang_model is not None else None)
-    dvars = factory.discriminator_init_variables(bundle, args, root_rng)
-    if getattr(bundle.discriminator, "use_text", False):
-        # the text-conditioned discriminator carries its own TextEncoderTCN
-        # embedding table; seed it like the generator's
-        dvars = factory.load_pretrained_word_embedding(
-            dvars, lang_model.word_embedding_weights
+    # Module/optimizer init runs EAGERLY (flax init is not jitted): on a
+    # tunneled device every tiny op is a ~100 ms roundtrip — measured
+    # ~2 min of TED-scale startup.  Run it on the host cpu platform
+    # instead (utils/platforms.py); optimizer init follows the
+    # cpu-committed params, and mesh replicate/shard below uploads the
+    # finished state in one transfer.  PRNGKey(seed) is backend-
+    # independent key data, so init draws are unchanged in distribution.
+    from ..utils import platforms
+    with platforms.host_init_context():
+        init_rng = jax.random.PRNGKey(seed)
+        gvars = factory.generator_init_variables(bundle, args, init_rng)
+        gvars = factory.load_pretrained_word_embedding(
+            gvars, lang_model.word_embedding_weights
             if lang_model is not None else None)
+        dvars = factory.discriminator_init_variables(bundle, args,
+                                                     init_rng)
+        if getattr(bundle.discriminator, "use_text", False):
+            # the text-conditioned discriminator carries its own
+            # TextEncoderTCN embedding table; seed it like the generator's
+            dvars = factory.load_pretrained_word_embedding(
+                dvars, lang_model.word_embedding_weights
+                if lang_model is not None else None)
 
-    # FGD evaluator
-    embed_space_evaluator = None
-    if args.eval_net_path and len(args.eval_net_path) > 0 and \
-            os.path.exists(args.eval_net_path):
-        embed_space_evaluator = EmbeddingSpaceEvaluator(
-            args, args.eval_net_path, lang_model)
-    elif args.eval_net_path:
-        logging.warning("eval_net_path %s not found; FGD disabled",
-                        args.eval_net_path)
+        # FGD evaluator (its embed-net template init is eager too)
+        embed_space_evaluator = None
+        if args.eval_net_path and len(args.eval_net_path) > 0 and \
+                os.path.exists(args.eval_net_path):
+            embed_space_evaluator = EmbeddingSpaceEvaluator(
+                args, args.eval_net_path, lang_model)
+        elif args.eval_net_path:
+            logging.warning("eval_net_path %s not found; FGD disabled",
+                            args.eval_net_path)
 
     # train/eval steps + states
     model = args.model
@@ -441,6 +454,39 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
         train_vid_indices = _dataset_vid_indices(train_loader.dataset,
                                                  speaker_model)
 
+    # checkpoint writer: async (background device_get+encode+write from
+    # an on-device snapshot; ~6-9 s/epoch measured synchronous at TED
+    # scale) unless --async_checkpoint false.  atexit drain is the
+    # safety net for exceptional exits so no queued save is ever lost.
+    ckpt_writer = None
+    if getattr(args, "async_checkpoint", True):
+        ckpt_writer = async_ckpt.AsyncCheckpointWriter()
+        atexit.register(ckpt_writer.drain)
+
+    def _save_state_checkpoint(save_name, epoch, gen_state, dis_state):
+        os.makedirs(args.model_save_path, exist_ok=True)
+        device_tree = {
+            "gen_vars": {"params": gen_state.params,
+                         "batch_stats": gen_state.batch_stats},
+            "gen_opt": gen_state.opt_state,
+            "dis_vars": ({"params": dis_state.params,
+                          "batch_stats": dis_state.batch_stats}
+                         if dis_state is not None else None),
+            "dis_opt": (dis_state.opt_state
+                        if dis_state is not None else None),
+        }
+        host_state = {"args": args, "epoch": epoch,
+                      "lang_model": lang_model,
+                      "speaker_model": speaker_model, "pose_dim": pose_dim}
+        if ckpt_writer is not None:
+            snap = async_ckpt.snapshot_device_tree(device_tree)
+            ckpt_writer.submit(ckpt_lib.save_checkpoint, snap, host_state,
+                               save_name)
+        else:
+            state = dict(host_state)
+            state.update(jax.device_get(device_tree))
+            ckpt_lib.save_checkpoint(state, save_name)
+
     with mesh:
         if tp_devices > 1:
             # embedding tensor parallelism: large (vocab, dim) tables
@@ -466,20 +512,10 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
                 """Overwrite <name>_checkpoint_last.bin after each epoch's
                 train pass: crash recovery / chunked --resume_checkpoint
                 (beyond the reference, which can only restart from 0)."""
-                os.makedirs(args.model_save_path, exist_ok=True)
-                ckpt_lib.save_checkpoint({
-                    "args": args, "epoch": epoch, "lang_model": lang_model,
-                    "speaker_model": speaker_model, "pose_dim": pose_dim,
-                    "gen_vars": jax.device_get(current_gen_vars()),
-                    "dis_vars": (jax.device_get(
-                        {"params": dis_state.params,
-                         "batch_stats": dis_state.batch_stats})
-                        if dis_state is not None else None),
-                    "gen_opt": jax.device_get(gen_state.opt_state),
-                    "dis_opt": (jax.device_get(dis_state.opt_state)
-                                if dis_state is not None else None),
-                }, "{}/{}_checkpoint_last.bin".format(
-                    args.model_save_path, args.name))
+                _save_state_checkpoint(
+                    "{}/{}_checkpoint_last.bin".format(
+                        args.model_save_path, args.name),
+                    epoch, gen_state, dis_state)
 
             # --eval_interval N (default 1 = the reference's every-epoch
             # eval): the TED-scale eval pass costs ~10 s/epoch (~20% of
@@ -526,20 +562,9 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
                 else:
                     save_name = "{}/{}_checkpoint_{:03d}.bin".format(
                         args.model_save_path, args.name, epoch)
-                os.makedirs(args.model_save_path, exist_ok=True)
-                ckpt_lib.save_checkpoint({
-                    "args": args, "epoch": epoch, "lang_model": lang_model,
-                    "speaker_model": speaker_model, "pose_dim": pose_dim,
-                    "gen_vars": jax.device_get(current_gen_vars()),
-                    "dis_vars": (jax.device_get(
-                        {"params": dis_state.params,
-                         "batch_stats": dis_state.batch_stats})
-                        if dis_state is not None else None),
-                    # optimizer state enables true resume (beyond reference)
-                    "gen_opt": jax.device_get(gen_state.opt_state),
-                    "dis_opt": (jax.device_get(dis_state.opt_state)
-                                if dis_state is not None else None),
-                }, save_name)
+                # optimizer state included: true resume (beyond reference)
+                _save_state_checkpoint(save_name, epoch, gen_state,
+                                       dis_state)
 
             # ---- sample videos (reference train.py:160-163) ----
             if args.save_result_video and epoch % save_sample_interval == 0:
@@ -586,6 +611,10 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
                                 _write_collapse_marker(
                                     args, key, scalar,
                                     it - n_sub + 1 + k, epoch)
+                                if ckpt_writer is not None:
+                                    # the "last good checkpoint" promise
+                                    # below must hold before we abort
+                                    ckpt_writer.drain()
                                 raise FloatingPointError(
                                     "non-finite train metric %s=%r at "
                                     "iteration %d (epoch %d); last good "
@@ -774,6 +803,9 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
             if profiling:
                 jax.profiler.stop_trace()
 
+    if ckpt_writer is not None:
+        ckpt_writer.close()
+        atexit.unregister(ckpt_writer.drain)
     tb_writer.close()
     logging.info("--------- best loss values ---------")
     for key in best_values:

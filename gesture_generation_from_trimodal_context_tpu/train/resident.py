@@ -157,8 +157,10 @@ def shard_host_data(host, mesh=None, label=""):
 def _assembly_fingerprint(dataset, speaker_model, include_vids, fields):
     """Identity of the assembled host tensors: every input that shapes
     them — the cache .bin/.msgpack files (size+mtime), the window/audio
-    geometry, the exact tokenization (hash of the pre-tokenized ragged
-    arrays), and the speaker->index map when vids are included."""
+    geometry, the tokenization identity (the vocabulary's word->index
+    map; the token arrays themselves are a deterministic function of it
+    plus the hashed source files), and the speaker->index map when vids
+    are included."""
     store = dataset.store
     bits = {
         "v": 1,
@@ -178,10 +180,16 @@ def _assembly_fingerprint(dataset, speaker_model, include_vids, fields):
             bits["src:" + fn] = [st.st_size, int(st.st_mtime)]
     h = hashlib.sha1(json.dumps(bits, sort_keys=True).encode())
     if ("in_text" in fields or "word_seq" in fields) \
-            and getattr(dataset, "_tok_ids", None) is not None:
-        h.update(dataset._tok_ids.tobytes())
-        h.update(dataset._tok_starts.tobytes())
-        h.update(dataset._tok_offsets.tobytes())
+            and getattr(dataset, "lang_model", None) is not None:
+        # tokenization identity WITHOUT forcing tokenization (lazy since
+        # round 4): the pre-tokenized arrays are a deterministic function
+        # of the store's word lists (covered by the src-file hashes
+        # above) and the vocabulary's word->index map, so hashing the
+        # map discriminates identically
+        lm = dataset.lang_model
+        h.update(json.dumps(sorted(lm.word2index.items()),
+                            sort_keys=True).encode())
+        h.update(np.int64([lm.SOS_token, lm.EOS_token]).tobytes())
     if include_vids and hasattr(speaker_model, "word2index"):
         h.update(json.dumps(sorted(speaker_model.word2index.items()),
                             sort_keys=True).encode())

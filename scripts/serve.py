@@ -12,11 +12,13 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from gesture_generation_from_trimodal_context_tpu.synthesis.server import main
-from gesture_generation_from_trimodal_context_tpu.utils import compile_cache
+from gesture_generation_from_trimodal_context_tpu.utils import (
+    compile_cache, platforms)
 from gesture_generation_from_trimodal_context_tpu.utils.logging_utils import (
     set_logger)
 
 if __name__ == "__main__":
     set_logger()
     compile_cache.enable()  # warm restarts skip the window-step compile
+    platforms.enable_host_cpu()  # eager init runs locally, not tunneled
     main(sys.argv)

@@ -52,8 +52,9 @@ TEXT_EXAMPLES = [
 def main(mode, checkpoint_path, option, data_base="data/ted_dataset",
          text=None):
     from gesture_generation_from_trimodal_context_tpu.utils import (
-        compile_cache)
+        compile_cache, platforms)
     compile_cache.enable()  # warm reruns skip the multi-minute compiles
+    platforms.enable_host_cpu()  # eager init runs locally, not tunneled
     args, bundle, gen_vars, lang_model, speaker_model, pose_dim = \
         ckpt_lib.load_checkpoint_and_model(checkpoint_path,
                                            jax.random.PRNGKey(0))

@@ -32,8 +32,9 @@ def main(args):
     set_logger(args.model_save_path, "train.log")
     logging.info("framework: gesture_generation_from_trimodal_context_tpu")
     from gesture_generation_from_trimodal_context_tpu.utils import (
-        compile_cache)
+        compile_cache, platforms)
     compile_cache.enable()  # warm reruns skip the multi-minute compiles
+    platforms.enable_host_cpu()  # eager init runs locally, not tunneled
     import jax
     logging.info("jax devices: %s", jax.devices())
     logging.info(vars(args))

@@ -87,15 +87,24 @@ def main(args, h36m_path=None, trial_epochs=None):
                  len(val_dataset))
 
     from gesture_generation_from_trimodal_context_tpu.utils import (
-        compile_cache)
+        compile_cache, platforms)
     compile_cache.enable()
+    platforms.enable_host_cpu()
     bundle = factory.init_model(args, None, None, POSE_DIM)
+    # eager flax/optax init on the host cpu (utils/platforms.py), then
+    # one bulk device_put of the finished state
     rng = jax.random.PRNGKey(max(args.random_seed, 0))
-    gvars = factory.generator_init_variables(bundle, args, rng)
+    with platforms.host_init_context():
+        init_rng = jax.random.PRNGKey(max(args.random_seed, 0))
+        gvars = factory.generator_init_variables(bundle, args, init_rng)
     # pose-diff term enabled (reference train_feature_extractor.py:67-70)
     step_fn, tx = make_embed_train_step(bundle, args, use_pose_diff=True)
     eval_step = make_embed_eval_step(bundle)
-    state = make_net_state(gvars, tx)
+    with platforms.host_init_context():
+        state = make_net_state(gvars, tx)
+    default_dev = jax.devices()[0]
+    if default_dev.platform != "cpu":
+        state = jax.device_put(state, default_dev)
     # --steps_per_call K: fuse K iterations per dispatch (same scan
     # fusion the main driver uses; amortizes per-call dispatch latency)
     steps_per_call = max(1, getattr(args, "steps_per_call", 1) or 1)

@@ -69,14 +69,19 @@ def test_assembly_cache_key_sensitivity(store_dir):
         ds, spk, False, resident.TRAIN_FIELDS) != base
     assert resident._assembly_fingerprint(
         ds, spk, True, ("target_vec",)) != base
-    # tokenization identity: remapping one word changes the key
-    tok = ds._tok_ids.copy()
-    ds._tok_ids = tok + 1
+    # tokenization identity: remapping one vocabulary word changes the
+    # key (tokenization is lazy; the fingerprint hashes word2index)
+    word = next(w for w in ds.lang_model.word2index
+                if ds.lang_model.word2index[w] > 3)
+    old = ds.lang_model.word2index[word]
+    ds.lang_model.word2index[word] = old + 1000
     assert resident._assembly_fingerprint(
         ds, spk, True, resident.TRAIN_FIELDS) != base
-    ds._tok_ids = tok
+    ds.lang_model.word2index[word] = old
     assert resident._assembly_fingerprint(
         ds, spk, True, resident.TRAIN_FIELDS) == base
+    # and the lazy arrays are untouched by fingerprinting
+    assert ds._tok_ids is None
     # touching a source .bin invalidates
     vec_bin = os.path.join(ds.store.path, "vec_seq.bin")
     st = os.stat(vec_bin)
