@@ -17,6 +17,7 @@ import logging
 import os
 import pickle
 
+import jax
 import msgpack
 from flax import serialization
 
