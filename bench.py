@@ -25,6 +25,65 @@ import numpy as np
 
 BASELINE_FRAMES_PER_SEC = 17700.0
 N_POSES = 34
+# TPU v5e (v5 lite) peak dense bf16 throughput per chip; MFU is reported
+# against this (the recurrent matmuls run bf16 by default since round 4,
+# so the bf16 peak is the honest denominator).  Override for other parts.
+PEAK_FLOPS = float(os.environ.get("GG_PEAK_FLOPS", 197e12))
+
+
+def _bench_synthesis(args, bundle, gvars, lang, repeats=3):
+    """End-to-end generation throughput (VERDICT r4 item 4): fused
+    single-clip and batched 8-clip `synthesis/engine` calls, warm, wall
+    clock per call (includes host windowing + the one device dispatch +
+    finalize — what a user of scripts/synthesize.py experiences)."""
+    import jax
+    from gesture_generation_from_trimodal_context_tpu.synthesis.engine import (
+        generate_gestures, generate_gestures_batch)
+    if not getattr(args, "mean_dir_vec", None):
+        args.mean_dir_vec = [0.0] * 27
+    rs = np.random.RandomState(0)
+    dur = 9.0
+    audio = (0.1 * rs.randn(int(16000 * dur))).astype(np.float32)
+    words, t = [], 0.3
+    while t < dur - 0.5:
+        words.append(["w%d" % int(t * 10 % 50), t, t + 0.2])
+        t += 0.35
+    rng = jax.random.PRNGKey(7)
+
+    t0 = time.time()
+    out = generate_gestures(args, bundle, gvars, lang, audio, words,
+                            vid=3, rng=rng, fused=True)  # warm/compile
+    print("synthesis compile+warmup: %.1fs" % (time.time() - t0),
+          file=sys.stderr)
+    n_frames = int(out.shape[0])
+    ts = []
+    for _ in range(repeats):
+        t0 = time.time()
+        generate_gestures(args, bundle, gvars, lang, audio, words,
+                          vid=3, rng=rng, fused=True)
+        ts.append(time.time() - t0)
+    fused_s = float(np.median(ts))
+
+    n_clips = 8
+    clips = [dict(audio=audio, words=words, vid=3,
+                  rng=jax.random.fold_in(rng, i)) for i in range(n_clips)]
+    generate_gestures_batch(args, bundle, gvars, lang, clips)  # warm
+    ts = []
+    for _ in range(repeats):
+        t0 = time.time()
+        generate_gestures_batch(args, bundle, gvars, lang, clips)
+        ts.append(time.time() - t0)
+    batch_s = float(np.median(ts))
+    print("synthesis: fused %.2f s/clip (%d frames), batched x%d %.2f "
+          "clips/s" % (fused_s, n_frames, n_clips, n_clips / batch_s),
+          file=sys.stderr)
+    return {
+        "synth_fused_clip_s": round(fused_s, 3),
+        "synth_frames_per_sec": round(n_frames / fused_s, 1),
+        "synth_batch8_clips_per_sec": round(n_clips / batch_s, 2),
+        "synth_batch8_frames_per_sec": round(n_clips * n_frames / batch_s,
+                                             1),
+    }
 
 
 def _wait_for_backend(deadline_s=None):
@@ -165,6 +224,26 @@ def main():
         dis_state = mesh_lib.replicate(dis_state, mesh)
         dbatch = mesh_lib.shard_batch(host_batch, mesh)
 
+        # analytic FLOPs for MFU accounting (VERDICT r4 item 4): XLA's
+        # HLO cost analysis over the lowered (pre-compile) train-step
+        # module, which counts matmuls as 2*M*N*K.  The axon plugin's
+        # lowering returns None from cost_analysis (measured round 5),
+        # so lower a CPU-targeted copy of the SAME traced program via
+        # abstract avals under jax.default_device(cpu) — the HLO (and
+        # its flop count) is platform-independent at this level.
+        train_flops = None
+        try:
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                (gen_state, dis_state, dbatch, key))
+            cpu = platforms.host_cpu_device()
+            with jax.default_device(cpu):
+                ca = step.lower(*abstract, train_d=True,
+                                add_gan=True).cost_analysis()
+            train_flops = float(ca["flops"])
+        except Exception as e:  # pragma: no cover - backend-specific
+            print("cost_analysis unavailable: %r" % e, file=sys.stderr)
+
         def run(n):
             nonlocal gen_state, dis_state
             for i in range(n):
@@ -218,7 +297,7 @@ def main():
     print("step time: %.2f ms, loss %.3f" % (dt_step * 1000, loss),
           file=sys.stderr)
 
-    print(json.dumps({
+    record = {
         "metric": "multimodal_context train throughput",
         "value": round(frames_per_sec_per_chip, 1),
         "unit": "frames/sec/chip",
@@ -227,7 +306,24 @@ def main():
         "step_ms": round(dt_step * 1e3, 2),
         "spread_ms": [round(min(slopes) * 1e3, 2),
                       round(max(slopes) * 1e3, 2)],
-    }))
+    }
+    if train_flops is not None:
+        record["train_gflops_per_step"] = round(train_flops / 1e9, 2)
+        record["achieved_tflops"] = round(train_flops / dt_step / 1e12, 3)
+        record["mfu_pct"] = round(
+            100.0 * train_flops / dt_step / PEAK_FLOPS, 3)
+
+    # generation throughput in the same driver-visible artifact
+    # (GG_BENCH_SYNTH=0 skips it; failures degrade to the train-only
+    # record rather than killing the bench)
+    if os.environ.get("GG_BENCH_SYNTH", "1").lower() not in (
+            "0", "false", "no"):
+        try:
+            record.update(_bench_synthesis(args, bundle, gvars, lang))
+        except Exception as e:  # pragma: no cover
+            print("synthesis bench failed: %r" % e, file=sys.stderr)
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -144,6 +144,37 @@ class EmbeddingSpaceEvaluator:
             np.abs(real_feats - generated_feats), axis=1)))
         return frechet_dist, feat_dist
 
+    def get_diversity(self, cap=512):
+        """Feature-space diversity: mean pairwise L2 distance among the
+        accumulated latents, (generated, real).
+
+        Complementary quality axis to FGD (VERDICT r4 item 5): FGD can
+        saturate while the generator's OUTPUT VARIETY collapses toward
+        the mean pose — mode collapse moves this number long before it
+        moves a saturated FGD.  The reference evaluator has no such
+        metric (embedding_space_evaluator.py:74-101); the definition is
+        the standard gesture/dance-paper "Diversity" (mean pairwise
+        feature distance, computed on a deterministic <=cap subsample to
+        bound the O(n^2) pair matrix)."""
+        self._materialize()
+
+        def _div(feats):
+            feats = np.vstack(feats)
+            if feats.shape[0] > cap:
+                idx = np.random.RandomState(0).choice(
+                    feats.shape[0], cap, replace=False)
+                feats = feats[idx]
+            if feats.shape[0] < 2:
+                return 0.0
+            sq = np.sum(feats * feats, axis=1)
+            d2 = np.maximum(sq[:, None] + sq[None, :]
+                            - 2.0 * feats @ feats.T, 0.0)
+            n = feats.shape[0]
+            iu = np.triu_indices(n, k=1)
+            return float(np.mean(np.sqrt(d2[iu])))
+
+        return _div(self.generated_feat_list), _div(self.real_feat_list)
+
 
 def _sqrtm(mat):
     """Matrix square root tolerant of scipy's disp-argument removal."""

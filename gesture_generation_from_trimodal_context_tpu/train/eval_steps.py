@@ -22,13 +22,18 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import skeleton
+from ..ops.quality import beat_alignment_score
 from .common import build_pre_seq, decode_audio, split_rngs
 
 
 def make_eval_body(bundle, args, mean_dir_vec):
     """Non-jitted per-batch eval math:
     fn(gen_vars, batch, vids, rng, mask=None) ->
-    (loss, out_dir_vec, joint_mae, accel_diff).
+    (loss, out_dir_vec, joint_mae, accel_diff, beat_align).
+
+    beat_align (ops/quality.beat_alignment_score) is NaN for models
+    whose eval batch carries no raw audio (seq2seq/speech2gesture/
+    autoencoder); callers skip non-finite values.
 
     ``mask`` (float (B,), 1.0 = real sample) supports --eval_full_set's
     padded final batch: every reduction becomes a per-sample mean
@@ -59,7 +64,8 @@ def make_eval_body(bundle, args, mean_dir_vec):
         return mae, accel
 
     def body(gen_vars, batch, vids, rng, mask=None):
-        if "in_audio" in batch:
+        has_audio = "in_audio" in batch
+        if has_audio:
             batch = dict(batch, in_audio=decode_audio(batch["in_audio"]))
         target = batch["target_vec"]
         rngs = split_rngs(rng, ("noise", "dropout"))
@@ -93,14 +99,19 @@ def make_eval_body(bundle, args, mean_dir_vec):
             raise ValueError(model)
 
         mae, accel = metrics(out, target, mask)
-        return loss, out, mae, accel
+        if has_audio:
+            beat = beat_alignment_score(batch["in_audio"], out, mask)
+        else:
+            beat = jnp.float32(jnp.nan)
+        return loss, out, mae, accel, beat
 
     return body
 
 
 def make_eval_step(bundle, args, mean_dir_vec):
     """Returns jit fn(gen_vars, batch, vids, rng, mask=None) ->
-    (loss, out_dir_vec, joint_mae, accel_diff).  See make_eval_body."""
+    (loss, out_dir_vec, joint_mae, accel_diff, beat_align).
+    See make_eval_body."""
     body = make_eval_body(bundle, args, mean_dir_vec)
 
     @jax.jit
@@ -116,7 +127,8 @@ def make_fused_eval_pass(bundle, args, mean_dir_vec, audio_len=None,
 
     fn(gen_vars, embed_vars, data, idx_stack, vids_stack, mask_stack,
        root_rng) -> dict of stacked per-batch device arrays:
-        loss/mae/accel (K,) mask-weighted batch means,
+        loss/mae/accel/beat (K,) mask-weighted batch means (beat NaN
+        for audio-less models, see make_eval_body),
         count (K,) valid samples per batch,
         and when embed_apply is given (the FGD embedding net — signature
         (variables, poses, mask) -> (feat, masked_recon_err), see
@@ -162,10 +174,10 @@ def make_fused_eval_pass(bundle, args, mean_dir_vec, audio_len=None,
             idx, vids, mask, k = xs
             batch = gather(data, idx)
             rng = jax.random.fold_in(root_rng, 777_000 + k)
-            loss, out, mae, accel = body(
+            loss, out, mae, accel, beat = body(
                 batch=batch, gen_vars=gen_vars,
                 vids=vids if use_vids else None, rng=rng, mask=mask)
-            ys = {"loss": loss, "mae": mae, "accel": accel,
+            ys = {"loss": loss, "mae": mae, "accel": accel, "beat": beat,
                   "count": jnp.sum(mask)}
             if embed_apply is not None:
                 gen_feat, recon_f = embed_apply(embed_vars, out, mask)

@@ -121,7 +121,7 @@ def _stub_eval_step(gen_vars, batch, vids, rng, mask=None):
     per = jnp.mean(t.reshape(t.shape[0], -1), axis=1)
     loss = jnp.mean(per) if mask is None else \
         jnp.sum(per * mask) / jnp.sum(mask)
-    return loss, t, loss, loss
+    return loss, t, loss, loss, jnp.float32(jnp.nan)
 
 
 def _run_eval(loader, mesh):
@@ -199,10 +199,10 @@ def test_eval_step_mask_matches_natural_size():
     padded = np.concatenate([target, np.repeat(target[-1:], 2, axis=0)])
     mask = np.array([1.0] * 6 + [0.0] * 2, np.float32)
 
-    loss_m, out_m, mae_m, acc_m = step(
+    loss_m, out_m, mae_m, acc_m, _ = step(
         gvars, {"target_vec": jnp.asarray(padded)}, None, rng,
         jnp.asarray(mask))
-    loss_n, out_n, mae_n, acc_n = step(
+    loss_n, out_n, mae_n, acc_n, _ = step(
         gvars, {"target_vec": jnp.asarray(target)}, None, rng)
 
     np.testing.assert_allclose(float(loss_m), float(loss_n), rtol=1e-5)
