@@ -538,7 +538,14 @@ def train_epochs(args, train_loader, test_loader, lang_model, pose_dim,
                 for key, value in val_metrics.items():
                     tb_writer.add_scalar(key + "/validation", value,
                                          global_iter)
-                    if key not in best_values or value < best_values[key][0]:
+                    # beat alignment and diversity score HIGHER-is-better
+                    # (ops/quality.py, models/evaluator.get_diversity);
+                    # everything else (losses, FGD, MAE) lower-is-better
+                    hib = key in ("beat_align", "diversity",
+                                  "diversity_real")
+                    if key not in best_values or \
+                            (value > best_values[key][0] if hib
+                             else value < best_values[key][0]):
                         best_values[key] = (value, epoch)
 
                 val_loss = val_metrics.get("frechet", val_metrics["loss"])
