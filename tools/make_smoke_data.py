@@ -33,12 +33,17 @@ import numpy as np
 def _gen_video(task):
     """Worker: build one video's clip list (runs in a subprocess)."""
     from gesture_generation_from_trimodal_context_tpu.data import synthetic
-    v, clips_per_video, clip_duration_s, fps, seed, style_name = task
+    v, clips_per_video, dur_range, fps, seed, style_name = task
     rng = np.random.RandomState(seed)
     style = synthetic.speaker_style(seed) if style_name == "hard" else None
     clips = []
     t0 = 0.0
+    lo, hi = dur_range
     for c in range(clips_per_video):
+        # per-clip duration draw (real TED clips vary; a range like
+        # 8-25 makes the store exercise synthesize.py's 5-12 s
+        # from_db_clip duration filter at any fixture scale)
+        clip_duration_s = lo if hi <= lo else float(rng.uniform(lo, hi))
         if style is not None:
             clips.append(synthetic.hard_clip(
                 clip_duration_s, fps, rng, style, start_time=t0,
@@ -51,12 +56,14 @@ def _gen_video(task):
     return v, {"vid": "video_%05d" % v, "clips": clips}
 
 
-def make_store(path, n_videos, clips_per_video, clip_duration_s, fps, seed,
+def make_store(path, n_videos, clips_per_video, dur_range, fps, seed,
                workers, style="hard"):
     from gesture_generation_from_trimodal_context_tpu.data.storage import (
         GGRawStoreWriter)
-    tasks = [(v, clips_per_video, clip_duration_s, fps, seed * 100003 + v,
-              style)
+    if not isinstance(dur_range, (tuple, list)):
+        dur_range = (float(dur_range), float(dur_range))
+    tasks = [(v, clips_per_video, tuple(dur_range), fps,
+              seed * 100003 + v, style)
              for v in range(n_videos)]
     with GGRawStoreWriter(path) as w:
         if workers <= 1 or n_videos < 8:
@@ -85,8 +92,11 @@ def main():
     ap.add_argument("--test_videos", type=int, default=0,
                     help="default: max(2, videos//10)")
     ap.add_argument("--clips", type=int, default=2)
-    ap.add_argument("--dur", type=float, default=8.0,
-                    help="clip duration in seconds")
+    ap.add_argument("--dur", default="8",
+                    help="clip duration in seconds; 'MIN-MAX' (e.g. "
+                         "'8-25') draws per-clip durations uniformly "
+                         "so the store carries mixed clip lengths like "
+                         "real TED")
     ap.add_argument("--fps", type=int, default=15)
     ap.add_argument("--h36m_frames", type=int, default=300,
                     help="frames per H3.6M action (x14 actions)")
@@ -111,9 +121,12 @@ def main():
     for split, n, seed in (("train", args.videos, 1),
                            ("val", n_val, 2), ("test", n_test, 3)):
         path = os.path.join(ted, "lmdb_" + split)
-        print("building %s: %d videos x %d clips x %.0fs (%s style)"
-              % (path, n, args.clips, args.dur, args.style), flush=True)
-        make_store(path, n, args.clips, args.dur, args.fps, seed,
+        dur = str(args.dur)
+        dur_range = tuple(float(x) for x in dur.split("-", 1)) \
+            if "-" in dur else (float(dur), float(dur))
+        print("building %s: %d videos x %d clips x %s s (%s style)"
+              % (path, n, args.clips, dur, args.style), flush=True)
+        make_store(path, n, args.clips, dur_range, args.fps, seed,
                    args.workers, style=args.style)
 
     npz = os.path.join(base, "h36m", "data_3d_h36m.npz")
